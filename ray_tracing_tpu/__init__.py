@@ -1,0 +1,44 @@
+"""ray_tracing_tpu — a TPU-native differentiable Monte-Carlo path tracer.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference CPU ray tracer (cozis/ray_tracing): scene DSL parsing, pinhole
+camera with interactive controls, sphere/AABB path tracing with cubemap
+skybox and explicit light sampling, progressive-resolution accumulation,
+and PNG screenshots — plus new TPU-first capabilities the reference lacks:
+end-to-end differentiability (inverse rendering), multi-chip sharding over
+a `jax.sharding.Mesh`, Pallas megakernels, and checkpointing.
+
+Layer map (mirrors SURVEY.md §1, redesigned functional-first):
+
+    ops/       batched vector math, intersections, cubemap, sampling (ref: src/vector.c, src/scene.c)
+    scene/     scene pytree + DSL parser                             (ref: src/scene.{c,h})
+    render/    camera, path-tracing integrator, film/accumulation    (ref: src/camera.c, src/main.c)
+    kernels/   Pallas TPU megakernels for the hot path               (ref: src/main.c:131-272)
+    parallel/  mesh/sharding: tiles x samples over chips             (ref: src/main.c worker pool)
+    diff/      gradients, finite-difference oracle, inverse render   (new capability)
+    io/        image/cubemap IO, screenshots                         (ref: stb_image usage)
+    apps/      CLI + interactive viewer                              (ref: src/main.c:484-634)
+    native/    C++ runtime pieces (fast scene parser, event queue)   (ref: src/os.c, src/scene.c parser)
+"""
+
+__version__ = "0.1.0"
+
+from ray_tracing_tpu.config import RenderConfig
+from ray_tracing_tpu.scene.types import Scene, OBJ_NONE, OBJ_SPHERE, OBJ_CUBE
+from ray_tracing_tpu.scene.parser import parse_scene_file, parse_scene_string, SceneParseError
+from ray_tracing_tpu.render.camera import Camera
+from ray_tracing_tpu.render.integrator import render_image, render_pixels
+
+__all__ = [
+    "RenderConfig",
+    "Scene",
+    "OBJ_NONE",
+    "OBJ_SPHERE",
+    "OBJ_CUBE",
+    "parse_scene_file",
+    "parse_scene_string",
+    "SceneParseError",
+    "Camera",
+    "render_image",
+    "render_pixels",
+]

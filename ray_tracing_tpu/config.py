@@ -1,0 +1,64 @@
+"""Render configuration.
+
+The reference hard-codes every physics constant (SURVEY.md §5): bounces=10
+(src/main.c:156), shadow samples=3 and spread=0.5 (src/main.c:188-189),
+light weight=0.05 (src/main.c:257), hit offset=0.001 (src/main.c:198,250),
+move speed=0.5 (src/main.c:529), mouse sensitivity=0.1 (src/camera.c:58),
+fov=30 (src/camera.c:28). This config exposes all of them.
+
+`RenderConfig` is a frozen dataclass so it is hashable and can be passed as
+a static argument to `jax.jit` — all fields shape the traced program
+(loop lengths, sampling modes), none are data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) parameters of the path tracer.
+
+    Defaults reproduce the reference semantics exactly, including its two
+    deliberate quirks (both switchable):
+
+    * ``fov_degrees_bug=True``: the reference computes
+      ``screen_h = 2*tan(fov/2)`` with fov in DEGREES passed straight to
+      ``tan`` (src/camera.c:107), i.e. ``2*tan(15 rad) ~= -1.712``: a
+      negative screen height that vertically flips the image. Golden-image
+      parity requires keeping this on.
+    * ``cube_biased_sampling=True``: the reference draws random directions
+      by normalizing a uniform sample of the [-1,1]^3 cube
+      (src/vector.c:99-111) — biased toward cube corners, not uniform on
+      the sphere. Off = cosine-free uniform sphere sampling.
+    """
+
+    # Path tracing (src/main.c:131-272)
+    bounces: int = 10
+    shadow_samples: int = 3
+    shadow_spread: float = 0.5
+    light_sample_weight: float = 0.05
+    hit_offset: float = 1e-3
+
+    # Camera (src/camera.c)
+    fov: float = 30.0
+    fov_degrees_bug: bool = True
+    move_speed: float = 0.5
+    mouse_sensitivity: float = 0.1
+
+    # Sampling
+    cube_biased_sampling: bool = True
+
+    # Numerics
+    normalize_eps: float = 1e-5  # src/vector.c:35,129-138
+    zero_eps: float = 1e-4       # iszerof threshold, src/vector.c:79-82
+
+    # Progressive refinement (replaces --init-scale, src/main.c:350-354)
+    init_scale: int = 8
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,41 @@
+"""Test harness config: force CPU with 8 virtual devices BEFORE jax import.
+
+Mirrors SURVEY.md §4 "multi-chip without a pod": sharding tests run on a
+fake 8-device CPU mesh via --xla_force_host_platform_device_count.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not REFERENCE.exists():
+        pytest.skip("reference repo not mounted")
+    return REFERENCE
+
+
+@pytest.fixture(scope="session")
+def scene0_text(reference_dir):
+    return (reference_dir / "scene_0.txt").read_text()
+
+
+@pytest.fixture(scope="session")
+def scene1_text(reference_dir):
+    return (reference_dir / "scene_1.txt").read_text()
+
+
+@pytest.fixture(scope="session")
+def scene2_text(reference_dir):
+    return (reference_dir / "scene_2.txt").read_text()
