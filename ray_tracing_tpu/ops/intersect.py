@@ -1,15 +1,24 @@
-"""Batched ray-primitive intersection and closest-hit trace.
+"""Closest-hit ray tracing — SoA, statically specialized per scene topology.
 
 Replaces the reference's scalar per-object loop (src/scene.c:17-190) with a
-single broadcast over (batch..., N objects): every ray tests every padded
-object slot in one fused VPU pass, then a masked argmin picks the nearest.
-For the tiny scene sizes of the reference (<=1024, typically <16) this is
-the right TPU shape — no BVH, no divergence, fully static.
+*running-min* loop unrolled over the scene's objects: each object's
+intersection test is a full-width VPU pass over all pixels, and the winner's
+attributes (t, normal ingredients, material) are carried through
+`where`-selects. No gathers, no (pixels x objects) materialization, no
+argmin — for the reference's scene sizes (<= a few dozen objects) this is
+the fastest TPU shape, and object *kinds* are static pytree metadata so
+spheres compile sphere code only and cubes AABB code only.
 
-All math is differentiable w.r.t. scene geometry. Discrete outcomes
-(which object was hit, which cube face) follow the detached-decision rule:
-topology from argmin/comparisons, distances and normals smooth given that
-topology.
+Semantics are faithful to the reference:
+  * sphere: quadratic solve, strict discr > 0, nearest non-negative root
+    (src/scene.c:79-134)
+  * cube: slab method with the exact axis-tracking sequence that picks the
+    face normal, IEEE inf on axis-parallel rays (src/scene.c:17-77)
+  * closest hit: t >= 0 strictly-less-than scan => first of equal wins
+    (src/scene.c:156-190)
+
+Differentiable w.r.t. all scene geometry/material leaves; discrete winner
+choice is detached topology (standard differentiable-rendering practice).
 """
 
 from __future__ import annotations
@@ -19,134 +28,167 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ray_tracing_tpu.ops.linalg import dot, safe_normalize
+from ray_tracing_tpu.ops.vec import Vec3
 from ray_tracing_tpu.scene.types import Scene
 
-BIG = jnp.float32(3.4e38)  # stand-in for FLT_MAX (src/scene.c:160)
+BIG = 3.4e38  # stand-in for FLT_MAX (src/scene.c:160)
+HIT_THRESHOLD = 1e37  # anything below this is a real hit
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class HitRecord:
-    """Vectorized HitInfo (src/scene.h: HitInfo). All fields (batch...)."""
+class Hit:
+    """Vectorized HitInfo + winner material (src/scene.h HitInfo, plus the
+    material lookup the reference does separately at src/main.c:212)."""
 
-    t: jax.Array        # (...,) distance along the *normalized* direction
-    obj: jax.Array      # (...,) int32 object index; -1 on miss
-    point: jax.Array    # (..., 3) hit point
-    normal: jax.Array   # (..., 3) unit surface normal (0 on miss)
-    hit: jax.Array      # (...,) bool
+    t: jax.Array          # (...,) distance along unit direction; BIG on miss
+    hit: jax.Array        # (...,) bool
+    obj: jax.Array        # (...,) int32 winner index; -1 on miss
+    point: Vec3           # (...,) hit point (garbage on miss — mask first)
+    normal: Vec3          # (...,) unit normal (garbage on miss)
+    albedo: Vec3
+    roughness: jax.Array
+    reflectance: jax.Array
+    metallic: jax.Array
+    emission: Vec3        # emission_color * emission_power
 
 
-def intersect_spheres(ro, rd, centers, radii):
-    """Quadratic ray-sphere solve (src/scene.c:79-134).
+def intersect_sphere(ro: Vec3, d: Vec3, a, center: Vec3, radius):
+    """t for one sphere against all rays; BIG where no hit (src/scene.c:79-134).
 
-    ro, rd: (..., 3); centers: (N, 3); radii: (N,).
-    Returns t: (..., N) and valid: (..., N). rd need not be unit length
-    (the reference uses a = dot(d, d)).
+    `a = d.dot(d)` is passed in (computed once per trace; the reference
+    recomputes it per object but d is already normalized by trace_ray).
     """
-    oc = centers - ro[..., None, :]                      # (..., N, 3)
-    a = dot(rd, rd)[..., None]                           # (..., 1)
-    b = -2.0 * dot(oc, rd[..., None, :])                 # (..., N)
-    c = dot(oc, oc) - radii**2                           # (..., N)
-
+    oc = center - ro
+    b = -2.0 * oc.dot(d)
+    c = oc.norm2() - radius * radius
     discr = b * b - 4.0 * a * c
-    valid_d = discr > 0                                  # strict, src/scene.c:116
-    sq = jnp.sqrt(jnp.where(valid_d, discr, 0.0))        # where-trick for grads
+    valid = discr > 0
+    sq = jnp.sqrt(jnp.where(valid, discr, 0.0))  # where-trick: NaN-free grads
     inv2a = 0.5 / a
-    s0 = (-b - sq) * inv2a                               # near root
-    s1 = (-b + sq) * inv2a                               # far root
-    # nearest non-negative root (src/scene.c:119-127)
-    t = jnp.where(s0 < 0, s1, s0)
-    valid = valid_d & (t >= 0)
-    return jnp.where(valid, t, BIG), valid
+    s0 = (-b - sq) * inv2a
+    s1 = (-b + sq) * inv2a
+    t = jnp.where(s0 < 0, s1, s0)  # nearest non-negative root
+    valid = valid & (t >= 0)
+    return jnp.where(valid, t, BIG)
 
 
-def intersect_cubes(ro, rd, origins, sizes):
-    """Slab-method ray-AABB with axis-aligned face normals (src/scene.c:17-77).
+def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3):
+    """(t, normal) for one AABB against all rays; t=BIG where no hit.
 
-    ro, rd: (..., 3); origins, sizes: (N, 3).
-    Returns t (..., N), valid (..., N), normal (..., N, 3).
-
-    Mirrors the reference exactly: the hit axis is x unless the y (then z)
-    slab strictly tightens tnear; normals point against the ray's direction
-    component on the hit axis (sign of rd > 0 -> -1). Negative tnear (origin
-    inside the box) is rejected by trace(), same as the reference's t >= 0
-    check in trace_ray (src/scene.c:168).
+    Slab method with the reference's axis bookkeeping (src/scene.c:17-77):
+    start from the x slab; y then z replace the hit axis only when they
+    strictly tighten tnear. Normal faces against the ray's component on the
+    hit axis (d > 0 -> -1). tnear < 0 (origin inside) is rejected like the
+    reference's t >= 0 check in trace_ray.
     """
-    a = origins                                          # (N, 3)
-    b = origins + sizes
-    ro_b = ro[..., None, :]                              # (..., 1, 3)
-    rd_b = rd[..., None, :]
+    inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)  # IEEE inf matches C
+    t_a = (lo - ro) * inv
+    t_b = (hi - ro) * inv
+    pos = Vec3(d.x >= 0, d.y >= 0, d.z >= 0)
+    tmin = Vec3.where_c(pos, t_a, t_b)
+    tmax = Vec3.where_c(pos, t_b, t_a)
 
-    # IEEE inf semantics on rd == 0 match the C code's raw divisions.
-    inv = 1.0 / rd_b
-    t_lo = (a - ro_b) * inv                              # (..., N, 3)
-    t_hi = (b - ro_b) * inv
-    pos = rd_b >= 0                                      # src/scene.c:31
-    tmin = jnp.where(pos, t_lo, t_hi)
-    tmax = jnp.where(pos, t_hi, t_lo)
+    miss = (tmin.x > tmax.y) | (tmin.y > tmax.x)           # src/scene.c:47
+    y_tightens = tmin.y > tmin.x
+    near = jnp.maximum(tmin.x, tmin.y)
+    far = jnp.minimum(tmax.x, tmax.y)
 
-    txmin, tymin, tzmin = tmin[..., 0], tmin[..., 1], tmin[..., 2]
-    txmax, tymax, tzmax = tmax[..., 0], tmax[..., 1], tmax[..., 2]
+    miss = miss | (near > tmax.z) | (tmin.z > far)         # src/scene.c:61
+    z_tightens = tmin.z > near
+    near = jnp.maximum(near, tmin.z)
 
-    miss_xy = (txmin > tymax) | (tymin > txmax)          # src/scene.c:47
-    y_tightens = tymin > txmin
-    t_near = jnp.maximum(txmin, tymin)
-    t_far = jnp.minimum(txmax, tymax)
-    axis = jnp.where(y_tightens, 1, 0)
-
-    miss_z = (t_near > tzmax) | (tzmin > t_far)          # src/scene.c:61
-    z_tightens = tzmin > t_near
-    t_near = jnp.maximum(t_near, tzmin)
-    axis = jnp.where(z_tightens, 2, axis)
-
-    valid = ~(miss_xy | miss_z)
-
-    # normal = -sign(rd_axis) * e_axis, with rd > 0 -> -1 (src/scene.c:69-75)
-    rd_full = jnp.broadcast_to(rd_b, (*axis.shape, 3))
-    rd_on_axis = jnp.take_along_axis(rd_full, axis[..., None], axis=-1)[..., 0]
-    sign = jnp.where(rd_on_axis > 0, -1.0, 1.0)
-    normal = sign[..., None] * jax.nn.one_hot(axis, 3, dtype=ro.dtype)
-
-    valid = valid & (t_near >= 0)
-    return jnp.where(valid, t_near, BIG), valid, normal
-
-
-def trace(scene: Scene, ro, rd) -> HitRecord:
-    """Closest-hit over all padded object slots (src/scene.c:156-190).
-
-    Normalizes the direction first (the reference's trace_ray does too) —
-    t is measured along the unit direction regardless of |rd|.
-    """
-    d = safe_normalize(rd)
-
-    t_s, valid_s = intersect_spheres(ro, d, scene.p0, scene.radius)
-    t_c, valid_c, n_c = intersect_cubes(ro, d, scene.p0, scene.p1)
-
-    is_sphere = scene.is_sphere                          # (N,)
-    t = jnp.where(is_sphere, t_s, t_c)                   # (..., N)
-    valid = jnp.where(is_sphere, valid_s, valid_c) & scene.active
-
-    t = jnp.where(valid, t, BIG)
-    obj = jnp.argmin(t, axis=-1).astype(jnp.int32)       # first-min wins, like the
-    t_min = jnp.take_along_axis(t, obj[..., None], axis=-1)[..., 0]  # strict < scan
-    hit = t_min < BIG
-
-    point = ro + d * t_min[..., None]
-
-    # Sphere normal from the hit point (src/scene.c:144-150); cube normal
-    # from the slab axis. Gather the winning object's params, then select.
-    center = scene.p0[obj]                               # (..., 3)
-    sphere_n = safe_normalize(point - center)
-    cube_n = jnp.take_along_axis(n_c, obj[..., None, None], axis=-2)[..., 0, :]
-    winner_is_sphere = is_sphere[obj]
-    normal = jnp.where(winner_is_sphere[..., None], sphere_n, cube_n)
-
-    zero3 = jnp.zeros_like(point)
-    return HitRecord(
-        t=jnp.where(hit, t_min, -1.0),
-        obj=jnp.where(hit, obj, -1),
-        point=jnp.where(hit[..., None], point, zero3),
-        normal=jnp.where(hit[..., None], normal, zero3),
-        hit=hit,
+    axis = jnp.where(z_tightens, 2, jnp.where(y_tightens, 1, 0))
+    sx = jnp.where(d.x > 0, -1.0, 1.0)
+    sy = jnp.where(d.y > 0, -1.0, 1.0)
+    sz = jnp.where(d.z > 0, -1.0, 1.0)
+    zero = jnp.zeros_like(sx)
+    normal = Vec3(
+        jnp.where(axis == 0, sx, zero),
+        jnp.where(axis == 1, sy, zero),
+        jnp.where(axis == 2, sz, zero),
     )
+
+    valid = (~miss) & (near >= 0)
+    return jnp.where(valid, near, BIG), normal
+
+
+def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
+    """Closest hit with winner material, batched over ro/rd's shape."""
+    d = rd.normalize()  # trace_ray normalizes first (src/scene.c:158)
+    a = d.dot(d)
+    shape = jnp.broadcast_shapes(ro.shape, d.shape)
+
+    t_best = jnp.full(shape, BIG, d.dtype)
+    obj_best = jnp.full(shape, -1, jnp.int32)
+    sphere_win = jnp.zeros(shape, bool)
+    center_best = Vec3.zeros(shape)
+    cube_n_best = Vec3.zeros(shape)
+    albedo_best = Vec3.zeros(shape)
+    rough_best = jnp.zeros(shape, d.dtype)
+    refl_best = jnp.zeros(shape, d.dtype)
+    metal_best = jnp.zeros(shape, d.dtype)
+    emiss_best = Vec3.zeros(shape)
+
+    for i in range(scene.num_objects):
+        if scene.is_sphere(i):
+            t_i = intersect_sphere(ro, d, a, scene.center(i), scene.radius(i))
+        else:
+            t_i, n_i = intersect_cube(ro, d, scene.box_lo(i), scene.box_hi(i))
+
+        win = t_i < t_best  # strict: first of equal t wins, like the C scan
+        t_best = jnp.where(win, t_i, t_best)
+        obj_best = jnp.where(win, i, obj_best)
+        if scene.is_sphere(i):
+            sphere_win = jnp.where(win, True, sphere_win)
+            center_best = Vec3.where(win, scene.center(i).broadcast_to(shape), center_best)
+        else:
+            sphere_win = jnp.where(win, False, sphere_win)
+            cube_n_best = Vec3.where(win, n_i, cube_n_best)
+        albedo_best = Vec3.where(win, scene.albedo_of(i).broadcast_to(shape), albedo_best)
+        rough_best = jnp.where(win, scene.roughness[i], rough_best)
+        refl_best = jnp.where(win, scene.reflectance[i], refl_best)
+        metal_best = jnp.where(win, scene.metallic[i], metal_best)
+        emiss_best = Vec3.where(win, scene.emission_of(i).broadcast_to(shape), emiss_best)
+
+    hit = t_best < HIT_THRESHOLD
+    t_pt = jnp.where(hit, t_best, 0.0)  # keep point finite on miss
+    point = ro + d * t_pt
+    sphere_n = (point - center_best).normalize()
+    normal = Vec3.where(sphere_win, sphere_n, cube_n_best)
+
+    return Hit(
+        t=t_best,
+        hit=hit,
+        obj=obj_best,
+        point=point,
+        normal=normal,
+        albedo=albedo_best,
+        roughness=rough_best,
+        reflectance=refl_best,
+        metallic=metal_best,
+        emission=emiss_best,
+    )
+
+
+def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):
+    """Light-sampling trace: only (hit, emission-of-nearest) are needed
+    (src/main.c:200-204). Tracks 5 fields instead of 14."""
+    d = rd.normalize()
+    a = d.dot(d)
+    shape = jnp.broadcast_shapes(ro.shape, d.shape)
+
+    t_best = jnp.full(shape, BIG, d.dtype)
+    emiss_best = Vec3.zeros(shape)
+
+    for i in range(scene.num_objects):
+        if scene.is_sphere(i):
+            t_i = intersect_sphere(ro, d, a, scene.center(i), scene.radius(i))
+        else:
+            t_i, _ = intersect_cube(ro, d, scene.box_lo(i), scene.box_hi(i))
+        win = t_i < t_best
+        t_best = jnp.where(win, t_i, t_best)
+        emiss_best = Vec3.where(win, scene.emission_of(i).broadcast_to(shape), emiss_best)
+
+    hit = t_best < HIT_THRESHOLD
+    return hit, emiss_best

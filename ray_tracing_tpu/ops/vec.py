@@ -157,6 +157,15 @@ class Vec3:
             jnp.where(mask, a.z, b.z),
         )
 
+    @staticmethod
+    def where_c(mask: "Vec3", a: "Vec3", b: "Vec3") -> "Vec3":
+        """Select with a per-component mask (a Vec3 of booleans)."""
+        return Vec3(
+            jnp.where(mask.x, a.x, b.x),
+            jnp.where(mask.y, a.y, b.y),
+            jnp.where(mask.z, a.z, b.z),
+        )
+
     def broadcast_to(self, shape) -> "Vec3":
         return Vec3(
             jnp.broadcast_to(self.x, shape),

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracing_tpu.config import RenderConfig, DEFAULT_CONFIG
-from ray_tracing_tpu.ops.linalg import cross, safe_normalize
+from ray_tracing_tpu.ops.vec import Vec3
 
 UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3  # Direction enum (src/camera.h)
 
@@ -51,6 +51,18 @@ class Camera:
             pitch=jnp.float32(0.0),
         )
 
+    @property
+    def pos_v(self) -> Vec3:
+        return Vec3(self.pos[0], self.pos[1], self.pos[2])
+
+    @property
+    def front_v(self) -> Vec3:
+        return Vec3(self.front[0], self.front[1], self.front[2])
+
+    @property
+    def up_v(self) -> Vec3:
+        return Vec3(self.up[0], self.up[1], self.up[2])
+
 
 def screen_height(config: RenderConfig) -> float:
     """2*tan(fov/2) with the degrees bug on by default (src/camera.c:107)."""
@@ -60,37 +72,42 @@ def screen_height(config: RenderConfig) -> float:
     return 2.0 * math.tan(half)
 
 
-def ray_through_screen(camera: Camera, u, v, aspect_ratio, config: RenderConfig = DEFAULT_CONFIG):
-    """Generate rays through normalized screen coords u, v (...,).
+def ray_through_screen(camera: Camera, u, v, aspect_ratio,
+                       config: RenderConfig = DEFAULT_CONFIG):
+    """Rays through normalized screen coords u, v (batch-shaped arrays).
 
-    Returns (ro, rd) with ro (..., 3) broadcast from the camera position and
-    rd (..., 3) UNNORMALIZED — the reference keeps the raw screen vector and
-    only normalizes inside trace_ray; shading uses the raw direction
+    Returns (ro, rd) Vec3s; ro is the camera position (broadcast), rd is
+    UNNORMALIZED — the reference keeps the raw screen vector and only
+    normalizes inside trace_ray; shading uses the raw direction
     (src/main.c:214), so we must too for parity.
     """
-    w = safe_normalize(-camera.front)
-    ub = safe_normalize(cross(camera.up, w))
-    vb = cross(w, ub)
+    w = (-camera.front_v).normalize()
+    ub = camera.up_v.cross(w).normalize()
+    vb = w.cross(ub)
 
     sh = screen_height(config)
     sw = aspect_ratio * sh
 
-    horizontal = ub * sw
-    vertical = vb * sh
-    lower_left = camera.pos - 0.5 * horizontal - 0.5 * vertical - w
-
-    u = jnp.asarray(u, camera.pos.dtype)[..., None]
-    v = jnp.asarray(v, camera.pos.dtype)[..., None]
-    rd = lower_left + u * horizontal + v * vertical - camera.pos
-    ro = jnp.broadcast_to(camera.pos, rd.shape)
+    # dir = (pos - 0.5*sw*ub - 0.5*sh*vb - w) + u*sw*ub + v*sh*vb - pos
+    #     = (u - 0.5)*sw*ub + (v - 0.5)*sh*vb - w        (src/camera.c:118-121)
+    u = jnp.asarray(u, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    cu = (u - 0.5) * sw
+    cv = (v - 0.5) * sh
+    rd = Vec3(
+        cu * ub.x + cv * vb.x - w.x,
+        cu * ub.y + cv * vb.y - w.y,
+        cu * ub.z + cv * vb.z - w.z,
+    )
+    ro = camera.pos_v.broadcast_to(rd.shape)
     return ro, rd
 
 
 def pixel_grid(width: int, height: int):
-    """Normalized (u, v) for every pixel, with the reference's flips:
-    u = 1 - x/(W-1), v = 1 - y/(H-1) (src/main.c:293-296). Row 0 of the
-    returned (H, W) grids corresponds to the reference's j=0 row, which its
-    PNG writer flips on save — io.save_png applies the same flip."""
+    """Normalized (u, v) for every pixel with the reference's flips:
+    u = 1 - x/(W-1), v = 1 - y/(H-1) (src/main.c:293-296). Row j of the
+    (H, W) grids is the reference's row j, which its PNG writer flips
+    vertically on save (src/main.c:672) — io.save_png applies the same."""
     x = jnp.arange(width, dtype=jnp.float32)
     y = jnp.arange(height, dtype=jnp.float32)
     u = 1.0 - x / (width - 1)
@@ -105,30 +122,33 @@ def move(camera: Camera, direction: int, speed: float | None = None,
     along normalize(cross(front, up))."""
     if speed is None:
         speed = config.move_speed
-    right = safe_normalize(cross(camera.front, camera.up))
+    front = camera.front_v
+    right = front.cross(camera.up_v).normalize()
     delta = {
-        UP: camera.front * speed,
-        DOWN: -camera.front * speed,
-        LEFT: -right * speed,
+        UP: front * speed,
+        DOWN: front * -speed,
+        LEFT: right * -speed,
         RIGHT: right * speed,
     }[direction]
-    return dataclasses.replace(camera, pos=camera.pos + delta)
+    new_pos = camera.pos + jnp.stack([delta.x, delta.y, delta.z])
+    return dataclasses.replace(camera, pos=new_pos)
 
 
 def rotate(camera: Camera, dx: float, dy: float,
            config: RenderConfig = DEFAULT_CONFIG) -> Camera:
     """Mouse-look (src/camera.c:42-78). dx, dy are raw mouse deltas in
-    pixels (dy already in 'screen-up' sense: the caller passes
-    last_y - y). Sensitivity 0.1, pitch clamped to +/-89 deg."""
+    pixels (dy already in 'screen-up' sense: the caller passes last_y - y).
+    Sensitivity 0.1, pitch clamped to +/-89 deg."""
     yaw = camera.yaw + dx * config.mouse_sensitivity
     pitch = jnp.clip(camera.pitch + dy * config.mouse_sensitivity, -89.0, 89.0)
     yaw_r = jnp.deg2rad(yaw)
     pitch_r = jnp.deg2rad(pitch)
-    front = safe_normalize(
-        jnp.stack([
-            jnp.cos(yaw_r) * jnp.cos(pitch_r),
-            jnp.sin(pitch_r),
-            jnp.sin(yaw_r) * jnp.cos(pitch_r),
-        ])
+    front = Vec3(
+        jnp.cos(yaw_r) * jnp.cos(pitch_r),
+        jnp.sin(pitch_r),
+        jnp.sin(yaw_r) * jnp.cos(pitch_r),
+    ).normalize()
+    return dataclasses.replace(
+        camera, yaw=yaw, pitch=pitch,
+        front=jnp.stack([front.x, front.y, front.z]),
     )
-    return dataclasses.replace(camera, yaw=yaw, pitch=pitch, front=front)

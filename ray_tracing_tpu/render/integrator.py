@@ -2,13 +2,15 @@
 
 Re-expresses the reference's per-pixel recursive estimator
 (``pixel()``, src/main.c:131-272) as a fixed-length `lax.scan` over bounces
-with an active-ray mask, fully vectorized over (batch..., ) pixels/samples:
-no data-dependent control flow, static shapes, everything fuses into a few
-big VPU passes per bounce. Semantics are bit-faithful to the reference
-modulo RNG streams (SURVEY.md §2 path-tracer row):
+with an active-ray mask, fully vectorized over SoA pixel batches: no
+data-dependent control flow, static shapes, a handful of full-width VPU
+passes per bounce. Semantics are faithful to the reference modulo RNG
+streams (SURVEY.md §2 path-tracer row):
 
   * <= 10 bounces, early exit on miss -> masked-out lanes (src/main.c:156-173)
-  * sky = cubemap sample of the normalized direction, weighted by throughput
+  * sky = cubemap sample of the normalized miss direction x throughput —
+    DEFERRED: each ray samples the sky at most once (at death), so the
+    gather runs once after the bounce loop instead of once per bounce
   * explicit next-event sampling toward the FIRST emissive object only:
     3 jittered shadow rays, spread 0.5, hemisphere-rejected, averaged,
     blended with weight 0.05 and throughput renormalized by 0.95
@@ -33,144 +35,141 @@ import jax.numpy as jnp
 
 from ray_tracing_tpu.config import RenderConfig, DEFAULT_CONFIG
 from ray_tracing_tpu.ops.cubemap import CubemapData, constant_sky, sample_cubemap
-from ray_tracing_tpu.ops.intersect import trace
-from ray_tracing_tpu.ops.linalg import (
-    avg3,
-    dot,
-    fresnel_schlick,
-    is_zero_vec,
-    reflect,
-    safe_normalize,
-)
+from ray_tracing_tpu.ops.intersect import trace, trace_shadow
 from ray_tracing_tpu.ops.sampling import random_direction
+from ray_tracing_tpu.ops.vec import Vec3, fresnel_schlick
 from ray_tracing_tpu.render.camera import Camera, pixel_grid, ray_through_screen
 from ray_tracing_tpu.scene.types import Scene
 
 
 def render_rays(
     scene: Scene,
-    ro,
-    rd,
+    ro: Vec3,
+    rd: Vec3,
     key,
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
-):
-    """Trace a batch of rays to completion. ro, rd: (..., 3) -> rgb (..., 3).
+) -> Vec3:
+    """Trace a batch of rays to completion -> RGB Vec3 with rd's batch shape.
 
     rd may be unnormalized (primary rays are — see camera.ray_through_screen).
     """
     if cubemap is None:
         cubemap = constant_sky()
 
-    batch_shape = rd.shape[:-1]
-    light_index, has_light = scene.light_info()
-    light_origin = scene.origin_of()[light_index]  # (3,)
+    shape = jnp.broadcast_shapes(ro.shape, rd.shape)
+    ro = ro.broadcast_to(shape)
+    rd = rd.broadcast_to(shape)
+
+    if scene.has_light:
+        light_origin = scene.origin_of(scene.light_index)
 
     def bounce(state, bounce_key):
-        ro, rd, contrib, result, alive = state
+        ro, rd, contrib, result, alive, sky_dir, sky_contrib, died_miss = state
 
-        d = safe_normalize(rd)
-        hit = trace(scene, ro, d)
+        d = rd.normalize()
+        h = trace(scene, ro, rd)
 
-        # --- miss: add sky * throughput, kill the ray (src/main.c:162-173)
-        sky = sample_cubemap(cubemap, d)
-        miss_now = alive & ~hit.hit
-        result = result + jnp.where(miss_now[..., None], sky * contrib, 0.0)
-        active = alive & hit.hit
-
-        obj = jnp.maximum(hit.obj, 0)  # safe gather index; masked by `active`
-        albedo = scene.albedo[obj]
-        roughness = scene.roughness[obj]
-        reflectance = scene.reflectance[obj]
-        metallic = scene.metallic[obj]
-        emission = scene.emission_color[obj] * scene.emission_power[obj][..., None]
+        # --- miss: remember direction + throughput for the deferred sky
+        # gather; kill the ray (src/main.c:162-173).
+        miss_now = alive & ~h.hit
+        sky_dir = Vec3.where(miss_now, d, sky_dir)
+        sky_contrib = Vec3.where(miss_now, contrib, sky_contrib)
+        died_miss = died_miss | miss_now
+        active = alive & h.hit
 
         k_shadow, k_dir, k_branch = jax.random.split(bounce_key, 3)
 
         # --- next-event light sampling (src/main.c:180-210)
-        ns = config.shadow_samples
-        rand_dirs = random_direction(
-            k_shadow, (*batch_shape, ns), config.cube_biased_sampling
-        )  # (..., ns, 3)
-        accept = dot(rand_dirs, hit.normal[..., None, :]) > 0  # ref rejects <= 0
-        dir_to_light = light_origin - hit.point  # (..., 3)
-        sample_dir = safe_normalize(
-            config.shadow_spread * rand_dirs + dir_to_light[..., None, :]
-        )
-        sample_ro = hit.point[..., None, :] + config.hit_offset * sample_dir
-        hit2 = trace(scene, sample_ro, sample_dir)  # batch (..., ns)
-        obj2 = jnp.maximum(hit2.obj, 0)
-        emit2 = scene.emission_color[obj2] * scene.emission_power[obj2][..., None]
-        shadow_contrib = jnp.where((accept & hit2.hit)[..., None], emit2, 0.0)
-        num_samples = jnp.sum(accept, axis=-1)  # (...,)
-        sampled_light = jnp.sum(shadow_contrib, axis=-2) / jnp.maximum(
-            num_samples, 1
-        )[..., None]
-        sampled_light = jnp.where(has_light, sampled_light, 0.0)
+        if scene.has_light:
+            ns = config.shadow_samples
+            rand_dirs = random_direction(
+                k_shadow, (ns, *shape), config.cube_biased_sampling
+            )
+            # reject directions below the surface (<= 0, no flip)
+            accept = rand_dirs.dot(h.normal) > 0  # (ns, ...)
+            to_light = light_origin - h.point     # (...,)
+            sample_dir = (rand_dirs * config.shadow_spread + to_light).normalize()
+            sample_ro = h.point + sample_dir * config.hit_offset
+            hit2, emit2 = trace_shadow(scene, sample_ro, sample_dir)
+            take = accept & hit2
+            shadow_sum = Vec3(
+                jnp.sum(jnp.where(take, emit2.x, 0.0), axis=0),
+                jnp.sum(jnp.where(take, emit2.y, 0.0), axis=0),
+                jnp.sum(jnp.where(take, emit2.z, 0.0), axis=0),
+            )
+            num = jnp.sum(accept, axis=0)
+            sampled_light = shadow_sum * (1.0 / jnp.maximum(num, 1))
+        else:
+            sampled_light = Vec3.zeros(shape)
 
         # --- Fresnel (src/main.c:214-222); v is the RAW incoming direction
-        v = -rd
-        n = hit.normal
-        NoV = jnp.clip(dot(n, v), 0.0, 1.0)
-        f0_d = 0.16 * reflectance**2
-        f0 = (
-            f0_d[..., None] * (1.0 - metallic)[..., None]
-            + albedo * metallic[..., None]
+        NoV = jnp.clip(h.normal.dot(-rd), 0.0, 1.0)
+        f0_d = 0.16 * h.reflectance * h.reflectance
+        one_minus_m = 1.0 - h.metallic
+        f0 = Vec3(
+            f0_d * one_minus_m + h.albedo.x * h.metallic,
+            f0_d * one_minus_m + h.albedo.y * h.metallic,
+            f0_d * one_minus_m + h.albedo.z * h.metallic,
         )
         F = fresnel_schlick(NoV, f0)
 
         # --- bounce direction draw, flipped into the normal hemisphere
-        rand_dir = random_direction(k_dir, batch_shape, config.cube_biased_sampling)
-        rand_dir = jnp.where(
-            dot(rand_dir, n, keepdims=True) < 0, -rand_dir, rand_dir
-        )
+        rand_dir = random_direction(k_dir, shape, config.cube_biased_sampling)
+        rand_dir = Vec3.where(rand_dir.dot(h.normal) < 0, -rand_dir, rand_dir)
 
         # --- emission every bounce, with pre-branch throughput (src/main.c:232)
-        result = result + jnp.where(active[..., None], emission * contrib, 0.0)
+        result = result + Vec3.where(active, h.emission * contrib, Vec3.zeros(shape))
 
         # --- stochastic specular/diffuse branch (src/main.c:240-249)
-        u_branch = jax.random.uniform(k_branch, batch_shape)
-        specular = (metallic > 0.001) | (u_branch <= avg3(F))
-        reflect_dir = reflect(rd, n)  # raw rd, like the reference
-        out_spec = safe_normalize(roughness[..., None] * rand_dir + reflect_dir)
-        out_dir = jnp.where(specular[..., None], out_spec, rand_dir)
-        diffuse_scale = albedo * (1.0 - metallic)[..., None]
-        contrib_new = jnp.where(
-            specular[..., None], contrib, contrib * diffuse_scale
+        u_branch = jax.random.uniform(k_branch, shape)
+        specular = (h.metallic > 0.001) | (u_branch <= F.avg())
+        reflect_dir = rd.reflect(h.normal)  # raw rd, like the reference
+        out_spec = (rand_dir * h.roughness + reflect_dir).normalize()
+        out_dir = Vec3.where(specular, out_spec, rand_dir)
+        contrib_new = Vec3.where(
+            specular, contrib, contrib * h.albedo * one_minus_m
         )
 
         # --- light-sample blend AFTER the branch throughput update
-        # (src/main.c:257-261): result += 0.05 * light * contrib_new;
-        # contrib *= 0.95 — but only when the sampled color is non-zero.
-        light_on = active & ~is_zero_vec(sampled_light)
-        result = result + jnp.where(
-            light_on[..., None],
-            config.light_sample_weight * sampled_light * contrib_new,
-            0.0,
+        # (src/main.c:257-261), only when the sampled color is non-zero.
+        light_on = active & ~sampled_light.is_zero()
+        result = result + Vec3.where(
+            light_on,
+            sampled_light * contrib_new * config.light_sample_weight,
+            Vec3.zeros(shape),
         )
-        contrib_new = jnp.where(
-            light_on[..., None],
-            contrib_new * (1.0 - config.light_sample_weight),
-            contrib_new,
+        contrib_new = Vec3.where(
+            light_on, contrib_new * (1.0 - config.light_sample_weight), contrib_new
         )
 
-        new_ro = hit.point + config.hit_offset * out_dir
-        ro = jnp.where(active[..., None], new_ro, ro)
-        rd = jnp.where(active[..., None], out_dir, rd)
-        contrib = jnp.where(active[..., None], contrib_new, contrib)
+        new_ro = h.point + out_dir * config.hit_offset
+        ro = Vec3.where(active, new_ro, ro)
+        rd = Vec3.where(active, out_dir, rd)
+        contrib = Vec3.where(active, contrib_new, contrib)
 
-        return (ro, rd, contrib, result, active), None
+        return (ro, rd, contrib, result, active, sky_dir, sky_contrib, died_miss), None
 
-    contrib0 = jnp.ones((*batch_shape, 3), rd.dtype)
-    result0 = jnp.zeros((*batch_shape, 3), rd.dtype)
-    alive0 = jnp.ones(batch_shape, bool)
-
+    state0 = (
+        ro,
+        rd,
+        Vec3.full(shape, 1.0),     # contrib
+        Vec3.zeros(shape),         # result
+        jnp.ones(shape, bool),     # alive
+        Vec3.full(shape, 1.0),     # sky_dir placeholder (unit-ish, unused)
+        Vec3.zeros(shape),         # sky_contrib
+        jnp.zeros(shape, bool),    # died_miss
+    )
     bounce_keys = jax.random.split(key, config.bounces)
-    (ro, rd, contrib, result, alive), _ = jax.lax.scan(
-        bounce, (ro, rd, contrib0, result0, alive0), bounce_keys
+    (ro, rd, contrib, result, alive, sky_dir, sky_contrib, died_miss), _ = jax.lax.scan(
+        bounce, state0, bounce_keys
     )
 
-    return jnp.clip(result, 0.0, 1.0)  # src/main.c:267-269
+    # Deferred sky: one gather for all rays that ever flew out of the scene.
+    sky = sample_cubemap(cubemap, sky_dir)
+    result = result + Vec3.where(died_miss, sky * sky_contrib, Vec3.zeros(shape))
+
+    return result.clip(0.0, 1.0)  # src/main.c:267-269
 
 
 def render_pixels(
@@ -182,8 +181,8 @@ def render_pixels(
     key,
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
-):
-    """pixel() for arbitrary screen coordinates u, v (...,) -> rgb (..., 3)."""
+) -> Vec3:
+    """pixel() for arbitrary screen coordinates u, v (src/main.c:131-272)."""
     ro, rd = ray_through_screen(camera, u, v, aspect_ratio, config)
     return render_rays(scene, ro, rd, key, config, cubemap)
 
@@ -201,18 +200,18 @@ def render_image(
     """Render a full (H, W, 3) frame, averaging `spp` independent samples.
 
     Equivalent to `spp` accumulated reference frames at scale 1
-    (src/main.c:274-322 with scale=1 and src/main.c:394-396 averaging).
+    (src/main.c:274-322 with scale=1, src/main.c:394-396 averaging).
     """
     uu, vv = pixel_grid(width, height)
     aspect = width / height
 
-    def one_sample(k):
+    def one_sample(k) -> Vec3:
         return render_pixels(scene, camera, uu, vv, aspect, k, config, cubemap)
 
     if spp == 1:
-        return one_sample(key)
+        return one_sample(key).to_array()
     keys = jax.random.split(key, spp)
     # scan (not vmap) keeps peak memory at one sample's footprint.
-    total0 = jnp.zeros((height, width, 3), jnp.float32)
+    total0 = Vec3.zeros((height, width))
     total, _ = jax.lax.scan(lambda acc, k: (acc + one_sample(k), None), total0, keys)
-    return total / spp
+    return (total * (1.0 / spp)).to_array()

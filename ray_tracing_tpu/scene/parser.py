@@ -233,10 +233,10 @@ def parse_objects(src: str, warn=None) -> list[ObjectSpec]:
     return objects
 
 
-def parse_scene_string(src: str, capacity: int | None = None) -> Scene:
-    return Scene.from_objects(parse_objects(src), capacity=capacity)
+def parse_scene_string(src: str) -> Scene:
+    return Scene.from_objects(parse_objects(src))
 
 
-def parse_scene_file(path: str, capacity: int | None = None) -> Scene:
+def parse_scene_file(path: str) -> Scene:
     with open(path, "r") as f:
-        return parse_scene_string(f.read(), capacity=capacity)
+        return parse_scene_string(f.read())

@@ -1,29 +1,36 @@
-"""Scene data model as a JAX pytree (struct-of-arrays).
+"""Scene data model as a JAX pytree (struct-of-arrays, static topology).
 
 The reference stores an array-of-structs ``Object objects[1024]`` with a
-tagged union of Sphere/Cube plus a Material (src/scene.h:5-43). A TPU-native
-scene is the transpose: one padded array per field, so intersection tests
-vectorize over the object axis and every continuous parameter is a
-differentiable pytree leaf.
+tagged union of Sphere/Cube plus a Material (src/scene.h:5-43). The
+TPU-native scene is the transpose: one array per field, so intersection
+tests vectorize over pixels with the object loop unrolled — and the object
+*kinds* are static pytree metadata, so jit specializes the closest-hit loop
+per topology (sphere code for spheres, AABB code for cubes, no runtime tag
+dispatch at all). Continuous parameters (geometry + materials) are traced,
+differentiable leaves.
 
 Geometry is unified: ``p0``/``p1`` mean (center, {radius,_,_}) for spheres
-and (origin, size) for cubes, selected by the integer ``obj_type`` tag.
-Padding slots carry ``obj_type == OBJ_NONE`` and never produce hits.
+and (origin, size) for cubes, selected by the static ``obj_type`` tag.
 
-Object capacity is static (shapes must be jit-stable, mirroring
-``MAX_OBJECTS`` src/scene.h:3) but chosen per scene, rounded up to a small
-multiple so recompilation only happens when a scene crosses a capacity
-bucket.
+Design deltas vs the reference, on purpose:
+
+* No padding slots — shapes are (num_objects, ...) and a new scene topology
+  simply retraces (scenes are tiny and loaded once; MAX_OBJECTS=1024 is
+  enforced by the parser, src/scene.h:3).
+* The next-event-estimation light is chosen statically at scene build time
+  (first object with emission_power > 0) — the reference re-scans per pixel
+  (src/main.c:140-146) but with identical result for any fixed scene.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ray_tracing_tpu.ops.vec import Vec3
 
 OBJ_NONE = 0
 OBJ_SPHERE = 1
@@ -47,8 +54,8 @@ class ObjectSpec:
     """Host-side description of one object, produced by the parser."""
 
     kind: str  # "sphere" | "cube"
-    p0: tuple = DEFAULT_SPHERE_CENTER   # center / origin
-    p1: tuple = (DEFAULT_SPHERE_RADIUS,) * 3  # (radius,)*3 / size
+    p0: tuple = DEFAULT_SPHERE_CENTER           # center / origin
+    p1: tuple = (DEFAULT_SPHERE_RADIUS,) * 3    # (radius,)*3 / size
     albedo: tuple = DEFAULT_ALBEDO
     roughness: float = DEFAULT_ROUGHNESS
     reflectance: float = DEFAULT_REFLECTANCE
@@ -57,18 +64,19 @@ class ObjectSpec:
     emission_color: tuple = DEFAULT_EMISSION_COLOR
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Scene:
-    """Padded struct-of-arrays scene. All leaves have leading dim = capacity.
+    """Struct-of-arrays scene; leading dim of every leaf = num_objects.
 
-    Differentiable leaves: p0, p1, albedo, roughness, reflectance, metallic,
-    emission_power, emission_color. Non-differentiable: obj_type (int tag).
+    Data leaves (differentiable): p0, p1, albedo, roughness, reflectance,
+    metallic, emission_power, emission_color.
+    Static metadata: obj_type (tuple of OBJ_* ints), light_index.
     """
 
-    obj_type: jax.Array        # (N,) int32: OBJ_NONE / OBJ_SPHERE / OBJ_CUBE
+    obj_type: tuple            # static: per-object OBJ_SPHERE / OBJ_CUBE
+    light_index: int           # static: first emissive object, -1 if none
     p0: jax.Array              # (N, 3) f32: sphere center / cube origin
-    p1: jax.Array              # (N, 3) f32: (radius, radius, radius) / cube size
+    p1: jax.Array              # (N, 3) f32: (radius,)*3 / cube size
     albedo: jax.Array          # (N, 3) f32
     roughness: jax.Array       # (N,) f32
     reflectance: jax.Array     # (N,) f32
@@ -77,72 +85,81 @@ class Scene:
     emission_color: jax.Array  # (N, 3) f32
 
     @property
-    def capacity(self) -> int:
-        return self.obj_type.shape[0]
+    def num_objects(self) -> int:
+        return len(self.obj_type)
 
     @property
-    def active(self) -> jax.Array:
-        """(N,) bool — true for real (non-padding) objects."""
-        return self.obj_type != OBJ_NONE
+    def has_light(self) -> bool:
+        return self.light_index >= 0
 
-    @property
-    def num_objects(self) -> jax.Array:
-        return jnp.sum(self.active.astype(jnp.int32))
+    def is_sphere(self, i: int) -> bool:
+        return self.obj_type[i] == OBJ_SPHERE
 
-    @property
-    def is_sphere(self) -> jax.Array:
-        return self.obj_type == OBJ_SPHERE
+    def radius(self, i: int):
+        return self.p1[i, 0]
 
-    @property
-    def is_cube(self) -> jax.Array:
-        return self.obj_type == OBJ_CUBE
+    def center(self, i: int) -> Vec3:
+        return Vec3(self.p0[i, 0], self.p0[i, 1], self.p0[i, 2])
 
-    @property
-    def radius(self) -> jax.Array:
-        """(N,) sphere radii (garbage for cubes — mask with is_sphere)."""
-        return self.p1[:, 0]
+    def box_lo(self, i: int) -> Vec3:
+        return Vec3(self.p0[i, 0], self.p0[i, 1], self.p0[i, 2])
 
-    def origin_of(self) -> jax.Array:
-        """(N, 3) object 'origin' used for light sampling: sphere center, or
-        cube origin + size/2 (src/scene.c:10-15)."""
-        cube_center = self.p0 + 0.5 * self.p1
-        return jnp.where(self.is_sphere[:, None], self.p0, cube_center)
+    def box_hi(self, i: int) -> Vec3:
+        return Vec3(
+            self.p0[i, 0] + self.p1[i, 0],
+            self.p0[i, 1] + self.p1[i, 1],
+            self.p0[i, 2] + self.p1[i, 2],
+        )
 
-    def light_info(self):
-        """Index of the FIRST emissive object, matching the reference's lazy
-        single-light next-event estimation (src/main.c:140-146).
+    def albedo_of(self, i: int) -> Vec3:
+        return Vec3(self.albedo[i, 0], self.albedo[i, 1], self.albedo[i, 2])
 
-        Returns (light_index:int32 scalar, has_light:bool scalar). For
-        padding slots emission_power is 0 so they never win.
-        """
-        emissive = self.active & (self.emission_power > 0)
-        has_light = jnp.any(emissive)
-        light_index = jnp.argmax(emissive)  # first True (argmax of bools)
-        return light_index, has_light
+    def emission_of(self, i: int) -> Vec3:
+        """emission_color * emission_power for object i (src/main.c:203,232)."""
+        p = self.emission_power[i]
+        return Vec3(
+            self.emission_color[i, 0] * p,
+            self.emission_color[i, 1] * p,
+            self.emission_color[i, 2] * p,
+        )
+
+    def origin_of(self, i: int) -> Vec3:
+        """Object 'origin' for light sampling: sphere center, or cube
+        origin + size/2 (src/scene.c:10-15)."""
+        if self.is_sphere(i):
+            return self.center(i)
+        return Vec3(
+            self.p0[i, 0] + 0.5 * self.p1[i, 0],
+            self.p0[i, 1] + 0.5 * self.p1[i, 1],
+            self.p0[i, 2] + 0.5 * self.p1[i, 2],
+        )
 
     # -- construction ------------------------------------------------------
 
     @staticmethod
-    def from_objects(objects: list[ObjectSpec], capacity: int | None = None) -> "Scene":
-        """Pack host-side ObjectSpecs into a padded SoA pytree."""
+    def from_objects(objects: list[ObjectSpec]) -> "Scene":
+        """Pack host-side ObjectSpecs into the SoA pytree."""
         n = len(objects)
-        if capacity is None:
-            capacity = max(8, _round_up(n, 8))
-        if n > capacity:
-            raise ValueError(f"{n} objects > capacity {capacity}")
+        obj_type = tuple(
+            OBJ_SPHERE if o.kind == "sphere" else OBJ_CUBE for o in objects
+        )
+        # Reference light selection: FIRST object with emission_power > 0
+        # (src/main.c:140-146), frozen at build time.
+        light_index = -1
+        for i, o in enumerate(objects):
+            if o.emission_power > 0:
+                light_index = i
+                break
 
-        def field(fn, shape, dtype=np.float32):
-            out = np.zeros((capacity, *shape), dtype)
+        def field(fn, shape):
+            out = np.zeros((n, *shape), np.float32)
             for i, o in enumerate(objects):
                 out[i] = fn(o)
             return jnp.asarray(out)
 
-        obj_type = np.zeros((capacity,), np.int32)
-        for i, o in enumerate(objects):
-            obj_type[i] = OBJ_SPHERE if o.kind == "sphere" else OBJ_CUBE
-
         return Scene(
-            obj_type=jnp.asarray(obj_type),
+            obj_type=obj_type,
+            light_index=light_index,
             p0=field(lambda o: o.p0, (3,)),
             p1=field(lambda o: o.p1, (3,)),
             albedo=field(lambda o: o.albedo, (3,)),
@@ -154,18 +171,17 @@ class Scene:
         )
 
     def to_objects(self) -> list[ObjectSpec]:
-        """Inverse of from_objects (drops padding). Host-side / numpy."""
+        """Inverse of from_objects. Host-side / numpy."""
         host = {
             f.name: np.asarray(getattr(self, f.name))
             for f in dataclasses.fields(self)
+            if f.name not in ("obj_type", "light_index")
         }
         out = []
-        for i in range(self.capacity):
-            if host["obj_type"][i] == OBJ_NONE:
-                continue
+        for i in range(self.num_objects):
             out.append(
                 ObjectSpec(
-                    kind="sphere" if host["obj_type"][i] == OBJ_SPHERE else "cube",
+                    kind="sphere" if self.obj_type[i] == OBJ_SPHERE else "cube",
                     p0=tuple(host["p0"][i].tolist()),
                     p1=tuple(host["p1"][i].tolist()),
                     albedo=tuple(host["albedo"][i].tolist()),
@@ -179,5 +195,17 @@ class Scene:
         return out
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+jax.tree_util.register_dataclass(
+    Scene,
+    data_fields=[
+        "p0",
+        "p1",
+        "albedo",
+        "roughness",
+        "reflectance",
+        "metallic",
+        "emission_power",
+        "emission_color",
+    ],
+    meta_fields=["obj_type", "light_index"],
+)

@@ -10,6 +10,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Persistent compile cache keeps repeated test runs fast (XLA:CPU compiles of
+# the bounce-loop scan body are ~40s cold).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_rtt")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import pathlib
 

@@ -1,0 +1,272 @@
+"""Unit tests for Vec3, intersections, cubemap, camera vs the numpy oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import oracle
+from ray_tracing_tpu.ops.cubemap import CubemapData, face_uv, sample_cubemap
+from ray_tracing_tpu.ops.intersect import (
+    BIG,
+    HIT_THRESHOLD,
+    intersect_cube,
+    intersect_sphere,
+    trace,
+)
+from ray_tracing_tpu.ops.vec import Vec3
+from ray_tracing_tpu.render import camera as cam_mod
+from ray_tracing_tpu.render.camera import Camera, ray_through_screen
+from ray_tracing_tpu.scene.types import ObjectSpec, Scene
+
+RNG = np.random.default_rng(42)
+
+
+def rand_vec(n, lo=-5, hi=5):
+    return RNG.uniform(lo, hi, (n, 3)).astype(np.float32)
+
+
+def to_vec3(a):
+    return Vec3(jnp.asarray(a[..., 0]), jnp.asarray(a[..., 1]), jnp.asarray(a[..., 2]))
+
+
+# ---------------------------------------------------------------- Vec3 ----
+
+
+def test_vec3_algebra():
+    a = Vec3.of(1.0, 2.0, 3.0)
+    b = Vec3.of(4.0, -5.0, 6.0)
+    assert float(a.dot(b)) == pytest.approx(1 * 4 - 2 * 5 + 3 * 6)
+    c = a.cross(b)
+    np.testing.assert_allclose(
+        [float(c.x), float(c.y), float(c.z)],
+        np.cross([1, 2, 3], [4, -5, 6]),
+        rtol=1e-6,
+    )
+    s = (a * 2.0 + b - a / 2.0).to_array()
+    np.testing.assert_allclose(s, np.array([1, 2, 3]) * 1.5 + np.array([4, -5, 6]), rtol=1e-6)
+
+
+def test_vec3_normalize_guard():
+    # ||v|| < 1e-5 -> returned unchanged (src/vector.c:129-138)
+    tiny = Vec3.of(1e-6, 0.0, 0.0)
+    out = tiny.normalize()
+    assert float(out.x) == pytest.approx(1e-6)
+    v = Vec3.of(3.0, 0.0, 4.0).normalize()
+    np.testing.assert_allclose([float(v.x), float(v.y), float(v.z)], [0.6, 0, 0.8], rtol=1e-6)
+
+
+def test_vec3_reflect():
+    d = Vec3.of(1.0, -1.0, 0.0)
+    n = Vec3.of(0.0, 1.0, 0.0)
+    r = d.reflect(n)
+    np.testing.assert_allclose([float(r.x), float(r.y), float(r.z)], [1, 1, 0], atol=1e-6)
+
+
+def test_vec3_is_pytree():
+    v = Vec3.of(1.0, 2.0, 3.0)
+    leaves = jax.tree_util.tree_leaves(v)
+    assert len(leaves) == 3
+    out = jax.jit(lambda u: u * 2.0)(v)
+    assert float(out.y) == 4.0
+
+
+# ---------------------------------------------------------- intersection ----
+
+
+def test_sphere_vs_oracle():
+    n = 256
+    ro = rand_vec(n)
+    rd = rand_vec(n, -1, 1)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    center = np.array([0.5, -0.25, 1.0], np.float32)
+    radius = 1.5
+
+    t = intersect_sphere(
+        to_vec3(ro), to_vec3(rd), jnp.float32(1.0),
+        Vec3.of(*center), jnp.float32(radius),
+    )
+    t = np.asarray(t)
+    for i in range(n):
+        expect = oracle.sphere_t(ro[i].astype(np.float64), rd[i].astype(np.float64), center, radius)
+        if expect is None:
+            assert t[i] >= HIT_THRESHOLD, i
+        else:
+            assert t[i] == pytest.approx(expect, rel=2e-3, abs=2e-3), i
+
+
+def test_cube_vs_oracle():
+    n = 256
+    ro = rand_vec(n)
+    rd = rand_vec(n, -1, 1)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    lo = np.array([-1.0, -0.5, 0.0], np.float32)
+    size = np.array([2.0, 1.0, 3.0], np.float32)
+
+    t, normal = intersect_cube(
+        to_vec3(ro), to_vec3(rd), Vec3.of(*lo), Vec3.of(*(lo + size))
+    )
+    t = np.asarray(t)
+    nx, ny, nz = np.asarray(normal.x), np.asarray(normal.y), np.asarray(normal.z)
+    for i in range(n):
+        r = oracle.cube_t_normal(ro[i].astype(np.float64), rd[i].astype(np.float64), lo, size)
+        if r is None or r[0] < 0:
+            assert t[i] >= HIT_THRESHOLD, i
+        else:
+            texp, nexp = r
+            assert t[i] == pytest.approx(texp, rel=2e-3, abs=2e-3), i
+            np.testing.assert_allclose([nx[i], ny[i], nz[i]], nexp, atol=1e-6, err_msg=str(i))
+
+
+def test_cube_axis_parallel_rays():
+    # rays parallel to slabs exercise the IEEE inf path (src/scene.c:32 etc.)
+    lo, hi = Vec3.of(0.0, 0.0, 0.0), Vec3.of(1.0, 1.0, 1.0)
+    t, n = intersect_cube(Vec3.of(0.5, 0.5, -1.0), Vec3.of(0.0, 0.0, 1.0), lo, hi)
+    assert float(t) == pytest.approx(1.0)
+    assert float(n.z) == -1.0
+    # parallel but offset outside: miss
+    t, _ = intersect_cube(Vec3.of(2.0, 0.5, -1.0), Vec3.of(0.0, 0.0, 1.0), lo, hi)
+    assert float(t) >= HIT_THRESHOLD
+
+
+def test_cube_inside_origin_rejected():
+    # origin inside the box -> tnear < 0 -> rejected like trace_ray's t>=0
+    lo, hi = Vec3.of(0.0, 0.0, 0.0), Vec3.of(1.0, 1.0, 1.0)
+    t, _ = intersect_cube(Vec3.of(0.5, 0.5, 0.5), Vec3.of(0.0, 0.0, 1.0), lo, hi)
+    assert float(t) >= HIT_THRESHOLD
+
+
+def _random_scene(num=6):
+    objs = []
+    for i in range(num):
+        if i % 2 == 0:
+            objs.append(ObjectSpec(
+                kind="sphere",
+                p0=tuple(RNG.uniform(-4, 4, 3).tolist()),
+                p1=(float(RNG.uniform(0.3, 1.5)),) * 3,
+                emission_power=float(i == 2) * 3.0,
+            ))
+        else:
+            objs.append(ObjectSpec(
+                kind="cube",
+                p0=tuple(RNG.uniform(-4, 4, 3).tolist()),
+                p1=tuple(RNG.uniform(0.2, 2.0, 3).tolist()),
+            ))
+    return objs
+
+
+def test_trace_vs_oracle():
+    objs = _random_scene()
+    scene = Scene.from_objects(objs)
+    odicts = [{"kind": o.kind, "p0": np.array(o.p0), "p1": np.array(o.p1)} for o in objs]
+
+    n = 200
+    ro = rand_vec(n, -8, 8)
+    rd = rand_vec(n, -1, 1)
+
+    h = trace(scene, to_vec3(ro), to_vec3(rd))
+    t = np.asarray(h.t)
+    obj = np.asarray(h.obj)
+    hit = np.asarray(h.hit)
+    nx, ny, nz = np.asarray(h.normal.x), np.asarray(h.normal.y), np.asarray(h.normal.z)
+
+    for i in range(n):
+        texp, iexp, nexp = oracle.trace(odicts, ro[i], rd[i])
+        if texp is None:
+            assert not hit[i], i
+        else:
+            assert hit[i], i
+            assert obj[i] == iexp, (i, obj[i], iexp)
+            assert t[i] == pytest.approx(texp, rel=3e-3, abs=3e-3), i
+            np.testing.assert_allclose([nx[i], ny[i], nz[i]], nexp, atol=2e-3, err_msg=str(i))
+
+
+def test_trace_winner_material():
+    objs = [
+        ObjectSpec(kind="sphere", p0=(0, 0, -5), p1=(1, 1, 1), albedo=(0.1, 0.2, 0.3),
+                   roughness=0.7, metallic=0.5, emission_power=2.0,
+                   emission_color=(1, 0.5, 0.25)),
+        ObjectSpec(kind="sphere", p0=(0, 0, -20), p1=(1, 1, 1), albedo=(0.9, 0.9, 0.9)),
+    ]
+    scene = Scene.from_objects(objs)
+    h = trace(scene, Vec3.of(0.0, 0.0, 0.0), Vec3.of(0.0, 0.0, -1.0))
+    assert int(h.obj) == 0
+    assert float(h.t) == pytest.approx(4.0)
+    assert float(h.albedo.y) == pytest.approx(0.2)
+    assert float(h.roughness) == pytest.approx(0.7)
+    assert float(h.metallic) == pytest.approx(0.5)
+    # emission = color * power (src/main.c:203,232)
+    assert float(h.emission.x) == pytest.approx(2.0)
+    assert float(h.emission.z) == pytest.approx(0.5)
+    # normal points back toward the ray
+    assert float(h.normal.z) == pytest.approx(1.0)
+
+
+# -------------------------------------------------------------- cubemap ----
+
+
+def test_cubemap_vs_oracle():
+    faces = RNG.integers(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+    cm = CubemapData.from_faces(faces)
+    n = 300
+    d = rand_vec(n, -1, 1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    out = sample_cubemap(cm, to_vec3(d))
+    r, g, b = np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)
+    for i in range(n):
+        exp = oracle.cubemap_sample(faces, d[i].astype(np.float64))
+        np.testing.assert_allclose([r[i], g[i], b[i]], exp, atol=1e-6, err_msg=str(i))
+
+
+def test_cubemap_axis_faces():
+    face, _, _ = face_uv(Vec3.of(1.0, 0.1, 0.1))
+    assert int(face) == 3  # CF_RIGHT
+    face, _, _ = face_uv(Vec3.of(-1.0, 0.1, 0.1))
+    assert int(face) == 2  # CF_LEFT
+    face, _, _ = face_uv(Vec3.of(0.1, 1.0, 0.1))
+    assert int(face) == 4  # CF_TOP
+    face, _, _ = face_uv(Vec3.of(0.1, -1.0, 0.1))
+    assert int(face) == 5  # CF_BOTTOM
+    face, _, _ = face_uv(Vec3.of(0.1, 0.1, 1.0))
+    assert int(face) == 0  # CF_FRONT
+    face, _, _ = face_uv(Vec3.of(0.1, 0.1, -1.0))
+    assert int(face) == 1  # CF_BACK
+
+
+# --------------------------------------------------------------- camera ----
+
+
+def test_camera_ray_vs_oracle():
+    cam = Camera.default()
+    for u, v in [(0.0, 0.0), (1.0, 1.0), (0.5, 0.5), (0.25, 0.75)]:
+        ro, rd = ray_through_screen(cam, jnp.float32(u), jnp.float32(v), 4 / 3)
+        _, rd_exp = oracle.camera_ray([5, 5, 5], [-1, -1, -1], [0, 1, 0], u, v, 4 / 3)
+        np.testing.assert_allclose(
+            [float(rd.x), float(rd.y), float(rd.z)], rd_exp, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_screen_height_quirk():
+    from ray_tracing_tpu.config import RenderConfig
+
+    # 2*tan(15 rad) ~ -1.712 (SURVEY.md L2 camera row)
+    sh = cam_mod.screen_height(RenderConfig())
+    assert sh == pytest.approx(-1.712, abs=2e-3)
+    sh_fixed = cam_mod.screen_height(RenderConfig(fov_degrees_bug=False))
+    assert sh_fixed == pytest.approx(2 * np.tan(np.radians(15)), rel=1e-6)
+
+
+def test_camera_move_rotate():
+    cam = Camera.default()
+    moved = cam_mod.move(cam, cam_mod.UP, 0.5)
+    np.testing.assert_allclose(
+        np.asarray(moved.pos), np.asarray(cam.pos + cam.front * 0.5), rtol=1e-6
+    )
+    # yaw -90, pitch 0 -> front (0, 0, -1) after a zero-delta rotate
+    rot = cam_mod.rotate(cam, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(rot.front), [0, 0, -1], atol=1e-6)
+    # pitch clamps at +/-89 (src/camera.c:65-66)
+    rot = cam_mod.rotate(cam, 0.0, 10000.0)
+    assert float(rot.pitch) == pytest.approx(89.0)

@@ -134,17 +134,16 @@ def test_reference_scenes_parse(scene0_text, scene1_text, scene2_text):
 
 def test_scene_pytree_roundtrip(scene0_text):
     scene = parse_scene_string(scene0_text)
-    assert scene.capacity == 16
-    assert int(scene.num_objects) == 9
+    assert scene.num_objects == 9
     assert scene.obj_type[0] == OBJ_CUBE
     assert scene.obj_type[8] == OBJ_SPHERE
-    assert scene.obj_type[9] == 0
-    li, has = scene.light_info()
-    assert bool(has)
-    assert int(li) == 8
+    # light = first emissive object (src/main.c:140-146), frozen at build
+    assert scene.has_light
+    assert scene.light_index == 8
     # origin_of: cube center = origin + size/2 (src/scene.c:10-15)
+    o = scene.origin_of(0)
     np.testing.assert_allclose(
-        np.asarray(scene.origin_of()[0]), [1.5, 2.5, 0.05], rtol=1e-6
+        [float(o.x), float(o.y), float(o.z)], [1.5, 2.5, 0.05], rtol=1e-6
     )
     # round trip
     objs = scene.to_objects()
@@ -157,6 +156,11 @@ def test_scene_is_pytree(scene2_text):
 
     scene = parse_scene_string(scene2_text)
     leaves = jax.tree_util.tree_leaves(scene)
-    assert len(leaves) == 9
+    assert len(leaves) == 8  # 8 data fields; obj_type/light_index are static
     scene2 = jax.tree_util.tree_map(lambda x: x, scene)
-    assert scene2.capacity == scene.capacity
+    assert scene2.obj_type == scene.obj_type
+    assert scene2.light_index == scene.light_index
+    # static topology means Scene works as a jit argument with retrace-per-
+    # topology semantics
+    n = jax.jit(lambda s: s.p0.sum())(scene)
+    assert n.shape == ()
