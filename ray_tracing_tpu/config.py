@@ -50,6 +50,12 @@ class RenderConfig:
     # Sampling
     cube_biased_sampling: bool = True
 
+    # Differentiable-mode switches (no reference analogue). env_filter
+    # "bilinear" makes sky radiance smooth in the ray direction so geometry/
+    # camera/roughness gradients are non-degenerate; "nearest" is bit-
+    # faithful to the reference (src/gpu_and_windowing.c:103-104).
+    env_filter: str = "nearest"  # "nearest" | "bilinear"
+
     # Numerics
     normalize_eps: float = 1e-5  # src/vector.c:35,129-138
     zero_eps: float = 1e-4       # iszerof threshold, src/vector.c:79-82

@@ -80,19 +80,8 @@ def face_uv(d: Vec3):
     return face, u, v
 
 
-def sample_cubemap(cubemap: CubemapData, d: Vec3) -> Vec3:
-    """Nearest-texel skybox lookup for unit directions -> RGB in [0,1].
-
-    Matches src/gpu_and_windowing.c:96-111: clamp uv to [-1,1], remap to
-    [0,1], truncate to texel coords, bytes/255."""
-    face, u, v = face_uv(d)
-    u = 0.5 * (jnp.clip(u, -1.0, 1.0) + 1.0)
-    v = 0.5 * (jnp.clip(v, -1.0, 1.0) + 1.0)
-
-    x = (u * (cubemap.w - 1)).astype(jnp.int32)  # C trunc; operand >= 0
-    y = (v * (cubemap.h - 1)).astype(jnp.int32)
+def _gather_rgb(cubemap: CubemapData, face, y, x) -> Vec3:
     flat = (face * cubemap.h + y) * cubemap.w + x
-
     out = Vec3(
         jnp.take(cubemap.r, flat),
         jnp.take(cubemap.g, flat),
@@ -101,6 +90,45 @@ def sample_cubemap(cubemap: CubemapData, d: Vec3) -> Vec3:
     if cubemap.r.dtype == jnp.uint8:
         out = out.astype(jnp.float32) * (1.0 / 255.0)
     return out
+
+
+def sample_cubemap(cubemap: CubemapData, d: Vec3, bilinear: bool = False) -> Vec3:
+    """Skybox lookup for unit directions -> RGB in [0,1].
+
+    bilinear=False matches src/gpu_and_windowing.c:96-111 exactly: clamp uv
+    to [-1,1], remap to [0,1], truncate to texel coords, bytes/255.
+
+    bilinear=True is the differentiable-mode filter (no reference analogue):
+    a 4-texel lerp inside the face, so radiance is piecewise-smooth in the
+    ray direction and gradients flow from the sky to geometry/camera/
+    roughness. Face choice and texel indices stay detached (standard
+    texture-filter autodiff semantics).
+    """
+    face, u, v = face_uv(d)
+    u = 0.5 * (jnp.clip(u, -1.0, 1.0) + 1.0)
+    v = 0.5 * (jnp.clip(v, -1.0, 1.0) + 1.0)
+
+    if not bilinear:
+        x = (u * (cubemap.w - 1)).astype(jnp.int32)  # C trunc; operand >= 0
+        y = (v * (cubemap.h - 1)).astype(jnp.int32)
+        return _gather_rgb(cubemap, face, y, x)
+
+    fx = u * (cubemap.w - 1)
+    fy = v * (cubemap.h - 1)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, cubemap.w - 1)
+    y1 = jnp.minimum(y0 + 1, cubemap.h - 1)
+    wx = fx - x0  # gradient flows through these weights
+    wy = fy - y0
+
+    c00 = _gather_rgb(cubemap, face, y0, x0)
+    c01 = _gather_rgb(cubemap, face, y0, x1)
+    c10 = _gather_rgb(cubemap, face, y1, x0)
+    c11 = _gather_rgb(cubemap, face, y1, x1)
+    top = c00 + (c01 - c00) * wx
+    bot = c10 + (c11 - c10) * wx
+    return top + (bot - top) * wy
 
 
 def constant_sky(color=(0.0, 0.0, 0.0)) -> CubemapData:

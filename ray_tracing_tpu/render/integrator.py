@@ -166,7 +166,7 @@ def render_rays(
     )
 
     # Deferred sky: one gather for all rays that ever flew out of the scene.
-    sky = sample_cubemap(cubemap, sky_dir)
+    sky = sample_cubemap(cubemap, sky_dir, bilinear=config.env_filter == "bilinear")
     result = result + Vec3.where(died_miss, sky * sky_contrib, Vec3.zeros(shape))
 
     return result.clip(0.0, 1.0)  # src/main.c:267-269
