@@ -6,7 +6,8 @@ fake 8-device CPU mesh via --xla_force_host_platform_device_count.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: this environment's sitecustomize force-registers a TPU backend and
+# clobbers JAX_PLATFORMS — jax.config.update is the reliable override.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 # the bounce-loop scan body are ~40s cold).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_rtt")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

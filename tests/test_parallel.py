@@ -1,0 +1,134 @@
+"""Sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ray_tracing_tpu import Camera, RenderConfig
+from ray_tracing_tpu.diff.inverse import extract_params, fit, make_train_step
+from ray_tracing_tpu.ops.cubemap import constant_sky
+from ray_tracing_tpu.parallel.mesh import make_mesh
+from ray_tracing_tpu.parallel.render import render_image_sharded
+from ray_tracing_tpu.render.integrator import render_image
+from ray_tracing_tpu.scene.types import ObjectSpec, Scene
+
+CFG = RenderConfig(bounces=2, shadow_samples=1)
+SKY = constant_sky((0.4, 0.5, 0.6))
+KEY = jax.random.key(5)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def need_8_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def scene():
+    return Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3, roughness=1.0,
+                   albedo=(0.8, 0.3, 0.2)),
+        ObjectSpec(kind="cube", p0=(-3.0, -0.6, -3.0), p1=(12.0, 0.5, 12.0)),
+        ObjectSpec(kind="sphere", p0=(1.0, 5.0, 1.0), emission_power=3.0),
+    ])
+
+
+def test_sharded_render_shapes_and_determinism():
+    mesh = make_mesh(4, 2)
+    a = render_image_sharded(scene(), Camera.default(), 64, 48, KEY, mesh,
+                             spp=4, config=CFG, cubemap=SKY)
+    b = render_image_sharded(scene(), Camera.default(), 64, 48, KEY, mesh,
+                             spp=4, config=CFG, cubemap=SKY)
+    assert a.shape == (48, 64, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_matches_single_device_statistically():
+    mesh = make_mesh(4, 2)
+    sharded = np.asarray(
+        render_image_sharded(scene(), Camera.default(), 64, 48, KEY, mesh,
+                             spp=8, config=CFG, cubemap=SKY)
+    )
+    single = np.asarray(
+        render_image(scene(), Camera.default(), 64, 48, KEY, spp=8,
+                     config=CFG, cubemap=SKY)
+    )
+    # different RNG partitions -> MC noise differs; means must agree
+    assert abs(sharded.mean() - single.mean()) < 0.01
+    assert np.abs(sharded - single).mean() < 0.05
+
+
+def test_mesh_shapes():
+    for nt, ns in [(8, 1), (4, 2), (2, 4), (1, 8)]:
+        mesh = make_mesh(nt, ns)
+        img = render_image_sharded(scene(), Camera.default(), 32, 8 * max(nt, 1),
+                                   KEY, mesh, spp=ns, config=CFG, cubemap=SKY)
+        assert img.shape == (8 * max(nt, 1), 32, 3)
+
+
+def test_divisibility_errors():
+    mesh = make_mesh(4, 2)
+    with pytest.raises(ValueError, match="height"):
+        render_image_sharded(scene(), Camera.default(), 32, 30, KEY, mesh,
+                             spp=2, config=CFG, cubemap=SKY)
+    with pytest.raises(ValueError, match="spp"):
+        render_image_sharded(scene(), Camera.default(), 32, 32, KEY, mesh,
+                             spp=3, config=CFG, cubemap=SKY)
+
+
+def test_train_step_loss_decreases():
+    mesh = make_mesh(4, 2)
+    cfg = RenderConfig(bounces=2, shadow_samples=1, env_filter="bilinear")
+    cam = Camera.default()
+    true_scene = scene()
+    target = render_image_sharded(true_scene, cam, 32, 24, jax.random.key(9),
+                                  mesh, spp=4, config=cfg, cubemap=SKY)
+
+    start = dataclasses.replace(
+        true_scene, albedo=true_scene.albedo.at[0].set(jnp.array([0.2, 0.8, 0.8]))
+    )
+    rec, _, losses = fit(
+        start, cam, target, mesh, scene_fields=("albedo",),
+        steps=25, lr=5e-2, spp=2, config=cfg, cubemap=SKY,
+    )
+    assert losses[-1] < losses[0] * 0.5
+    # the perturbed object's albedo moved toward truth
+    err0 = np.abs(np.asarray(start.albedo[0]) - np.asarray(true_scene.albedo[0])).mean()
+    err1 = np.abs(np.asarray(rec.albedo[0]) - np.asarray(true_scene.albedo[0])).mean()
+    assert err1 < err0 * 0.6
+
+
+def test_sharded_grads_match_single_device():
+    # same loss, same key folding => mesh (1,1) on one device is the
+    # ground truth; (4,2) must psum to a *consistent estimator* (different
+    # key split -> statistical agreement on a smooth loss)
+    cam = Camera.default()
+    cfg = RenderConfig(bounces=2, shadow_samples=1)
+    base = scene()
+    target = jnp.zeros((24, 32, 3))
+    params = {"scene": extract_params(base, ("albedo",)), "camera": {}}
+    opt = optax.sgd(0.0)
+
+    grads = {}
+    for name, mesh in [("single", make_mesh(1, 1, devices=jax.devices()[:1])),
+                       ("mesh42", make_mesh(4, 2))]:
+        step = make_train_step(base, cam, mesh, opt, 32, 24, spp=8,
+                               config=cfg, cubemap=SKY)
+        state = opt.init(params)
+        _, _, loss = step(params, state, target, jax.random.key(0))
+        # recompute grad magnitude via loss (sgd lr=0 keeps params fixed)
+        grads[name] = float(loss)
+    assert grads["single"] == pytest.approx(grads["mesh42"], rel=0.05)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
