@@ -1,0 +1,70 @@
+"""Golden-image regression tests on the reference scenes.
+
+The four reference screenshots (assets/screenshot_0..3.png) were captured
+after free interactive camera movement (README.md:25-29), so their poses
+are unknown and pixel-exact comparison is impossible (SURVEY.md §4). Two
+layers of defense instead:
+
+1. committed goldens: converged default-pose renders of scene_0/1/2
+   (tests/goldens/*.npy, 96x72 @ 128spp, CPU) — re-rendered at lower spp
+   and compared within MC tolerance; catches any semantic drift in the
+   parser / camera / integrator / cubemap chain.
+2. reference-screenshot statistics: coarse scene-palette checks against
+   screenshot_0 (both images contain the same skybox, purple floor and
+   saturated light), robust to pose.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+
+from ray_tracing_tpu import Camera, render_image
+from ray_tracing_tpu.io.image import load_cubemap, load_image
+from ray_tracing_tpu.scene.parser import parse_scene_file
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+
+
+@pytest.fixture(scope="module")
+def cubemap(reference_dir):
+    return load_cubemap(reference_dir / "assets")
+
+
+@pytest.mark.parametrize("name", ["scene_0", "scene_1", "scene_2"])
+def test_golden_regression(name, cubemap, reference_dir):
+    golden = np.load(GOLDEN_DIR / f"{name}_96x72.npy")
+    scene = parse_scene_file(str(reference_dir / f"{name}.txt"))
+    img = np.asarray(
+        render_image(scene, Camera.default(), 96, 72, jax.random.key(7), spp=24,
+                     cubemap=cubemap)
+    )
+    # MC noise at 24 vs 128 spp: mean abs error well under 0.03 when the
+    # deterministic structure (geometry, materials, sky) is unchanged.
+    mae = np.abs(img - golden).mean()
+    assert mae < 0.03, f"{name}: mae={mae:.4f}"
+    assert abs(img.mean() - golden.mean()) < 0.01
+
+
+def test_screenshot_palette_agreement(cubemap, reference_dir):
+    """Pose-free sanity: default-pose scene_0 render shares the reference
+    screenshot's dominant palette (sky blues, purple floor, bright light)."""
+    shot = load_image(reference_dir / "assets" / "screenshot_0.png") / 255.0
+    scene = parse_scene_file(str(reference_dir / "scene_0.txt"))
+    img = np.asarray(
+        render_image(scene, Camera.default(), 128, 96, jax.random.key(3), spp=16,
+                     cubemap=cubemap)
+    )
+    # both contain near-white saturated pixels (the light / sun)
+    assert (img.min(axis=-1) > 0.95).mean() > 0.005
+    assert (shot.min(axis=-1) > 0.95).mean() > 0.005
+    # both contain the purple floor: blue > red > green pixels in quantity
+    def purple_frac(a):
+        return ((a[..., 2] > a[..., 0]) & (a[..., 0] > a[..., 1] + 0.05)).mean()
+
+    assert purple_frac(img) > 0.05
+    assert purple_frac(shot) > 0.05
+    # overall brightness in the same regime
+    assert abs(img.mean() - shot.mean()) < 0.25
