@@ -50,11 +50,20 @@ def main():
         )
         return jnp.sum(img)
 
-    # ---- forward ----
-    fwd = jax.jit(lambda s, k: render_sum(s, k, SPP_FWD))
-    float(fwd(scene, jax.random.key(0)))  # compile + warm
+    # ---- forward: Pallas megakernel (kernels/megakernel.py) ----
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+
+    def render_sum_pallas(scene, seed):
+        img = render_image_pallas(
+            scene, camera, WIDTH, HEIGHT, seed, spp=SPP_FWD,
+            config=config, cubemap=cubemap,
+        )
+        return jnp.sum(img)
+
+    fwd = jax.jit(render_sum_pallas)
+    float(fwd(scene, 0))  # compile + warm
     t0 = time.perf_counter()
-    float(fwd(scene, jax.random.key(1)))
+    float(fwd(scene, 1))
     dt_fwd = (time.perf_counter() - t0) / SPP_FWD
     rays = WIDTH * HEIGHT * traces_per_sample
     fwd_mrays = rays / dt_fwd / 1e6

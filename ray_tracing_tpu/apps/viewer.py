@@ -1,0 +1,174 @@
+"""Interactive terminal viewer — the reference's GLFW window + event loop
+(src/main.c:520-574, src/gpu_and_windowing.c) re-imagined for a headless
+TPU host: frames render on-device with progressive refinement and are
+painted into the terminal with ANSI half-block cells; input is raw-mode
+keyboard (WASD move, arrows/IJKL look, SPACE screenshot, Q/ESC quit).
+
+Event model mirrors the reference: a host event queue is drained each
+frame (pop_event, src/gpu_and_windowing.c:231-246); any camera event
+invalidates the accumulation (here: fresh Film + progressive restart at
+init_scale, matching invalidate_accumulation src/main.c:115-124 and the
+worker scale reset src/main.c:405-408).
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import time
+
+import numpy as np
+
+from ray_tracing_tpu.config import RenderConfig
+from ray_tracing_tpu.render import camera as cam_mod
+from ray_tracing_tpu.render.camera import Camera
+from ray_tracing_tpu.render.film import Film, progressive_scales, render_pass
+from ray_tracing_tpu.io.image import screenshot
+
+# Event ids (analogous to src/gpu_and_windowing.h:18-33)
+EV_QUIT, EV_W, EV_A, EV_S, EV_D, EV_LOOK, EV_SHOT = range(7)
+
+_LOOK_KEYS = {
+    "i": (0, 60.0), "k": (0, -60.0), "j": (-60.0, 0), "l": (60.0, 0),
+    "\x1b[A": (0, 60.0), "\x1b[B": (0, -60.0), "\x1b[D": (-60.0, 0), "\x1b[C": (60.0, 0),
+}
+
+
+def poll_events(timeout: float = 0.0):
+    """Drain pending keyboard input into an event list (non-blocking)."""
+    events = []
+    while select.select([sys.stdin], [], [], timeout)[0]:
+        timeout = 0.0
+        ch = os.read(sys.stdin.fileno(), 8).decode(errors="ignore")
+        if not ch:
+            break
+        i = 0
+        while i < len(ch):
+            c = ch[i]
+            if c == "\x1b" and ch[i : i + 3] in _LOOK_KEYS:
+                events.append((EV_LOOK, _LOOK_KEYS[ch[i : i + 3]]))
+                i += 3
+                continue
+            lc = c.lower()
+            if lc == "q" or c == "\x1b":
+                events.append((EV_QUIT, None))
+            elif lc == "w":
+                events.append((EV_W, None))
+            elif lc == "a":
+                events.append((EV_A, None))
+            elif lc == "s":
+                events.append((EV_S, None))
+            elif lc == "d":
+                events.append((EV_D, None))
+            elif lc in _LOOK_KEYS:
+                events.append((EV_LOOK, _LOOK_KEYS[lc]))
+            elif c == " ":
+                events.append((EV_SHOT, None))
+            i += 1
+    return events
+
+
+def frame_to_ansi(img: np.ndarray) -> str:
+    """(H, W, 3) float -> ANSI 24-bit half-block string (2 rows per cell)."""
+    h = img.shape[0] - (img.shape[0] % 2)
+    u8 = np.clip(img[:h] * 255.0, 0, 255).astype(np.uint8)
+    top, bot = u8[0::2], u8[1::2]
+    lines = []
+    for r in range(top.shape[0]):
+        row = []
+        for c in range(top.shape[1]):
+            tr, tg, tb = top[r, c]
+            br, bg, bb = bot[r, c]
+            row.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+        lines.append("".join(row) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+class Viewer:
+    """Progressive interactive loop. render_fn(scene, camera, film, key,
+    scale) -> film is injected so the CLI can choose XLA or Pallas path."""
+
+    def __init__(self, scene, camera, width, height, config: RenderConfig,
+                 render_fn, resolve_fn=None, out=sys.stdout):
+        self.scene = scene
+        self.camera = camera
+        self.width = width
+        self.height = height
+        self.config = config
+        self.render_fn = render_fn
+        self.resolve_fn = resolve_fn or (lambda film: np.asarray(film.resolve()))
+        self.out = out
+        self.film = Film.zero(width, height)
+        self.scales = list(progressive_scales(config))
+        self.pass_i = 0
+        self.frame_count = 0
+
+    def invalidate(self):
+        # invalidate_accumulation (src/main.c:115-124): zero buffers,
+        # restart the scale pyramid
+        self.film = Film.zero(self.width, self.height)
+        self.pass_i = 0
+
+    def handle_events(self, events) -> bool:
+        """Returns False when the loop should exit."""
+        speed = self.config.move_speed
+        for ev, arg in events:
+            if ev == EV_QUIT:
+                return False
+            if ev == EV_W:
+                self.camera = cam_mod.move(self.camera, cam_mod.UP, speed, self.config)
+                self.invalidate()
+            elif ev == EV_S:
+                self.camera = cam_mod.move(self.camera, cam_mod.DOWN, speed, self.config)
+                self.invalidate()
+            elif ev == EV_A:
+                self.camera = cam_mod.move(self.camera, cam_mod.LEFT, speed, self.config)
+                self.invalidate()
+            elif ev == EV_D:
+                self.camera = cam_mod.move(self.camera, cam_mod.RIGHT, speed, self.config)
+                self.invalidate()
+            elif ev == EV_LOOK:
+                dx, dy = arg
+                self.camera = cam_mod.rotate(self.camera, dx, dy, self.config)
+                self.invalidate()
+            elif ev == EV_SHOT:
+                path = screenshot(self.resolve_fn(self.film))
+                print(f"\nTook screenshot! ({path})", file=sys.stderr)
+        return True
+
+    def step(self, key):
+        """One refinement pass at the current pyramid scale."""
+        scale = self.scales[min(self.pass_i, len(self.scales) - 1)]
+        self.film = self.render_fn(self.scene, self.camera, self.film, key, scale)
+        self.pass_i += 1
+        self.frame_count += 1
+        return scale
+
+    def draw(self):
+        img = self.resolve_fn(self.film)
+        self.out.write("\x1b[H" + frame_to_ansi(img))
+        self.out.flush()
+
+
+def run_interactive(viewer: Viewer, max_frames=None):
+    """Raw-terminal main loop (the reference's main loop, src/main.c:520-574)."""
+    import termios
+    import tty
+
+    import jax
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    key = jax.random.key(int(time.time()))
+    try:
+        tty.setcbreak(fd)
+        viewer.out.write("\x1b[2J")  # clear
+        running = True
+        while running and (max_frames is None or viewer.frame_count < max_frames):
+            running = viewer.handle_events(poll_events())
+            viewer.step(jax.random.fold_in(key, viewer.frame_count))
+            viewer.draw()
+    finally:
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        viewer.out.write("\x1b[0m\n")

@@ -121,7 +121,8 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
 
     t_best = jnp.full(shape, BIG, d.dtype)
     obj_best = jnp.full(shape, -1, jnp.int32)
-    sphere_win = jnp.zeros(shape, bool)
+    # all-false via comparison, not a bool constant (Mosaic-compatible)
+    sphere_win = t_best < 0
     center_best = Vec3.zeros(shape)
     cube_n_best = Vec3.zeros(shape)
     albedo_best = Vec3.zeros(shape)
@@ -140,15 +141,15 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
         t_best = jnp.where(win, t_i, t_best)
         obj_best = jnp.where(win, i, obj_best)
         if scene.is_sphere(i):
-            sphere_win = jnp.where(win, True, sphere_win)
+            sphere_win = win | sphere_win
             center_best = Vec3.where(win, scene.center(i).broadcast_to(shape), center_best)
         else:
-            sphere_win = jnp.where(win, False, sphere_win)
+            sphere_win = sphere_win & ~win
             cube_n_best = Vec3.where(win, n_i, cube_n_best)
         albedo_best = Vec3.where(win, scene.albedo_of(i).broadcast_to(shape), albedo_best)
-        rough_best = jnp.where(win, scene.roughness[i], rough_best)
-        refl_best = jnp.where(win, scene.reflectance[i], refl_best)
-        metal_best = jnp.where(win, scene.metallic[i], metal_best)
+        rough_best = jnp.where(win, scene.roughness_of(i), rough_best)
+        refl_best = jnp.where(win, scene.reflectance_of(i), refl_best)
+        metal_best = jnp.where(win, scene.metallic_of(i), metal_best)
         emiss_best = Vec3.where(win, scene.emission_of(i).broadcast_to(shape), emiss_best)
 
     hit = t_best < HIT_THRESHOLD

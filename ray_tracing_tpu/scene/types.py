@@ -114,6 +114,15 @@ class Scene:
     def albedo_of(self, i: int) -> Vec3:
         return Vec3(self.albedo[i, 0], self.albedo[i, 1], self.albedo[i, 2])
 
+    def roughness_of(self, i: int):
+        return self.roughness[i]
+
+    def reflectance_of(self, i: int):
+        return self.reflectance[i]
+
+    def metallic_of(self, i: int):
+        return self.metallic[i]
+
     def emission_of(self, i: int) -> Vec3:
         """emission_color * emission_power for object i (src/main.c:203,232)."""
         p = self.emission_power[i]

@@ -1,0 +1,181 @@
+"""CLI + viewer tests (reference UX, src/main.c:484-634 analogue)."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from ray_tracing_tpu import Camera, RenderConfig
+from ray_tracing_tpu.apps.cli import build_parser, main as cli_main
+from ray_tracing_tpu.apps.viewer import (
+    EV_LOOK,
+    EV_QUIT,
+    EV_SHOT,
+    EV_W,
+    Viewer,
+    frame_to_ansi,
+)
+from ray_tracing_tpu.ops.cubemap import constant_sky
+from ray_tracing_tpu.render.film import render_pass
+from ray_tracing_tpu.scene.types import ObjectSpec, Scene
+
+CFG = RenderConfig(bounces=2, shadow_samples=1, init_scale=4)
+SKY = constant_sky((0.4, 0.5, 0.6))
+
+
+def make_viewer(tmp_path=None):
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3),
+    ])
+
+    def render_fn(scene, camera, film, key, scale):
+        return render_pass(scene, camera, film, key, scale, CFG, SKY)
+
+    return Viewer(scene, Camera.default(), 32, 24, CFG, render_fn, out=io.StringIO())
+
+
+def test_parser_reference_flags():
+    p = build_parser()
+    a = p.parse_args(["--scene", "s.txt", "--threads", "16", "--init-scale", "2"])
+    assert a.scene == "s.txt"
+    assert a.threads == 16
+    assert a.init_scale == 2
+    with pytest.raises(SystemExit):  # invalid init-scale, like the reference
+        p.parse_args(["--scene", "s.txt", "--init-scale", "3"])
+    with pytest.raises(SystemExit):  # missing --scene
+        p.parse_args([])
+
+
+def test_cli_bad_scene_returns_error(tmp_path, capsys):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("pyramid")
+    rc = cli_main(["--scene", str(bad), "--output", str(tmp_path / "x.png")])
+    assert rc == 1
+
+
+def test_cli_offline_render(tmp_path):
+    scn = tmp_path / "s.txt"
+    scn.write_text("sphere\n\tcenter {3 3 3}\n\tradius 1\n")
+    out = tmp_path / "out.png"
+    rc = cli_main([
+        "--scene", str(scn), "--width", "48", "--height", "32", "--spp", "1",
+        "--no-skybox", "--kernel", "xla", "--output", str(out),
+    ])
+    assert rc == 0
+    from PIL import Image
+
+    with Image.open(out) as im:
+        assert im.size == (48, 32)
+
+
+def test_viewer_progressive_and_invalidation():
+    v = make_viewer()
+    key = jax.random.key(0)
+    # pyramid: 4 -> 2 -> 1, then stays at 1
+    assert v.step(key) == 4
+    assert v.step(key) == 2
+    assert v.step(key) == 1
+    assert v.step(key) == 1
+    w_before = float(v.film.weight)
+    assert w_before == pytest.approx(1 / 16 + 1 / 4 + 2.0)
+    # W key: camera moves, accumulation restarts at init_scale
+    pos_before = np.asarray(v.camera.pos).copy()
+    assert v.handle_events([(EV_W, None)])
+    assert float(v.film.weight) == 0.0
+    assert v.step(key) == 4
+    assert not np.allclose(np.asarray(v.camera.pos), pos_before)
+    # look event rotates
+    yaw = float(v.camera.yaw)
+    v.handle_events([(EV_LOOK, (60.0, 0.0))])
+    assert float(v.camera.yaw) == pytest.approx(yaw + 6.0)  # 0.1 sensitivity
+    # quit event ends the loop
+    assert v.handle_events([(EV_QUIT, None)]) is False
+
+
+def test_viewer_screenshot(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    v = make_viewer()
+    v.step(jax.random.key(0))
+    v.handle_events([(EV_SHOT, None)])
+    assert (tmp_path / "screenshot_0.png").exists()
+    # second shot picks the next free name (src/main.c:642-659)
+    v.handle_events([(EV_SHOT, None)])
+    assert (tmp_path / "screenshot_1.png").exists()
+
+
+def test_frame_to_ansi():
+    img = np.zeros((4, 3, 3), np.float32)
+    img[0, 0] = [1, 0, 0]
+    s = frame_to_ansi(img)
+    assert s.count("▀") == 6  # 3 cols x 2 cell-rows
+    assert "\x1b[38;2;255;0;0m" in s
+
+
+CHILD_SCRIPT = r"""
+import os, sys, tempfile
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.chdir(tempfile.mkdtemp())
+from ray_tracing_tpu import Camera, RenderConfig
+from ray_tracing_tpu.apps.viewer import Viewer, run_interactive
+from ray_tracing_tpu.ops.cubemap import constant_sky
+from ray_tracing_tpu.render.film import render_pass
+from ray_tracing_tpu.scene.types import ObjectSpec, Scene
+
+CFG = RenderConfig(bounces=2, shadow_samples=1, init_scale=4)
+SKY = constant_sky((0.4, 0.5, 0.6))
+scene = Scene.from_objects([ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,)*3)])
+fn = lambda s, c, f, k, sc: render_pass(s, c, f, k, sc, CFG, SKY)
+v = Viewer(scene, Camera.default(), 32, 24, CFG, fn, out=sys.stdout)
+run_interactive(v, max_frames=60)
+print("VIEWER-DONE", file=sys.stderr)
+"""
+
+
+def test_run_interactive_pty(tmp_path):
+    """Drive the raw-terminal loop through a pseudo-terminal in a fresh
+    interpreter: move, screenshot, quit."""
+    import pty
+    import subprocess
+    import time
+
+    script = tmp_path / "child.py"
+    script.write_text(CHILD_SCRIPT)
+    master, slave = pty.openpty()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_rtt",
+        PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdin=slave, stdout=slave, stderr=subprocess.PIPE, env=env,
+    )
+    os.close(slave)
+    time.sleep(20)  # allow compile + a few frames
+    os.write(master, b"w")
+    time.sleep(2)
+    os.write(master, b" ")
+    time.sleep(2)
+    os.write(master, b"q")
+    out = b""
+    t0 = time.time()
+    while time.time() - t0 < 180 and proc.poll() is None:
+        import select as _select
+
+        if _select.select([master], [], [], 1.0)[0]:
+            try:
+                out += os.read(master, 65536)
+            except OSError:
+                break
+    _, err = proc.communicate(timeout=60)
+    os.close(master)
+    assert proc.returncode == 0, err[-800:]
+    assert b"VIEWER-DONE" in err
+    assert b"\x1b[38;2;" in out  # painted pixels
+    assert b"Took screenshot" in err
