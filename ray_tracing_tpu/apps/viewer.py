@@ -151,24 +151,75 @@ class Viewer:
         self.out.flush()
 
 
-def run_interactive(viewer: Viewer, max_frames=None):
-    """Raw-terminal main loop (the reference's main loop, src/main.c:520-574)."""
+# Native event ids (native/rt_native.cpp) -> viewer events
+_NATIVE_MAP = {
+    1: (EV_QUIT, None), 3: (EV_QUIT, None),               # CLOSE / ESC
+    4: (EV_W, None), 5: (EV_A, None), 6: (EV_S, None), 7: (EV_D, None),
+    2: (EV_SHOT, None),
+    20: (EV_LOOK, (0, 60.0)), 21: (EV_LOOK, (0, -60.0)),
+    22: (EV_LOOK, (-60.0, 0)), 23: (EV_LOOK, (60.0, 0)),
+}
+
+
+class NativeEventSource:
+    """C++ ring-buffer event queue fed by a reader thread
+    (native/rt_native.cpp, mirroring src/gpu_and_windowing.c:220-269)."""
+
+    def __init__(self, lib, fd):
+        self.lib = lib
+        if lib.rt_events_start(fd) != 0:
+            raise RuntimeError("event reader already running")
+
+    def poll(self):
+        events = []
+        while True:
+            ev = self.lib.rt_events_pop()
+            if ev == 0:
+                return events
+            mapped = _NATIVE_MAP.get(ev)
+            if mapped is not None:
+                events.append(mapped)
+
+    def stop(self):
+        self.lib.rt_events_stop()
+
+
+def run_interactive(viewer: Viewer, max_frames=None, use_native: bool = True):
+    """Raw-terminal main loop (the reference's main loop, src/main.c:520-574).
+
+    Input comes from the C++ event queue when the native library is
+    available (use_native), else from Python select() polling.
+    """
     import termios
     import tty
 
     import jax
 
+    from ray_tracing_tpu import native
+
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     key = jax.random.key(int(time.time()))
+
+    source = None
+    if use_native:
+        lib = native.lib()
+        if lib is not None:
+            try:
+                source = NativeEventSource(lib, fd)
+            except RuntimeError:
+                source = None
     try:
         tty.setcbreak(fd)
         viewer.out.write("\x1b[2J")  # clear
         running = True
         while running and (max_frames is None or viewer.frame_count < max_frames):
-            running = viewer.handle_events(poll_events())
+            events = source.poll() if source is not None else poll_events()
+            running = viewer.handle_events(events)
             viewer.step(jax.random.fold_in(key, viewer.frame_count))
             viewer.draw()
     finally:
+        if source is not None:
+            source.stop()
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
         viewer.out.write("\x1b[0m\n")

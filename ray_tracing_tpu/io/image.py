@@ -59,16 +59,36 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     return (img * 255.0).astype(np.uint8)
 
 
-def save_png(img, path, flip_vertically: bool = True) -> None:
+def save_png(img, path, flip_vertically: bool = True, use_native: bool = True) -> None:
     """Write an (H, W, 3) float [0,1] frame as PNG.
 
     flip_vertically=True matches the reference screenshot path
     (stbi_flip_vertically_on_write, src/main.c:672): our row 0 is the
     reference's row 0, and its writer flips rows on save.
+
+    The C++ encoder (native/rt_native.cpp rt_write_png, the framework's
+    stb_image_write equivalent) is used when available; PIL otherwise.
     """
-    from PIL import Image
+    import ctypes
 
     arr = to_uint8(img)
+    if use_native:
+        from ray_tracing_tpu import native
+
+        lib = native.lib()
+        if lib is not None:
+            a = np.ascontiguousarray(arr)
+            rc = lib.rt_write_png(
+                str(path).encode(),
+                a.shape[1],
+                a.shape[0],
+                a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                1 if flip_vertically else 0,
+            )
+            if rc == 0:
+                return
+    from PIL import Image
+
     if flip_vertically:
         arr = arr[::-1]
     Image.fromarray(arr).save(path)
