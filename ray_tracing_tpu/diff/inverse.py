@@ -114,8 +114,15 @@ def fit(
     cubemap: CubemapData | None = None,
     key=None,
     callback=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 50,
 ):
     """Adam loop recovering `scene_fields` (+ `camera_fields`) from `target`.
+
+    With checkpoint_dir set, optimizer state is saved every
+    `checkpoint_every` steps (orbax) and training RESUMES from the latest
+    checkpoint automatically (the reference has no analogue — SURVEY.md §5
+    checkpoint/resume row).
 
     Returns (recovered_scene, recovered_camera, losses).
     """
@@ -130,20 +137,58 @@ def fit(
     }
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
+    start = 0
+    losses: list[float] = []
+
+    if checkpoint_dir is not None:
+        from ray_tracing_tpu.diff import checkpoint as ckpt
+
+        state = ckpt.restore_checkpoint(checkpoint_dir)
+        if state is not None:
+            # Checkpoints store flat leaves; rebuild against the LIVE tree
+            # structures (optax NamedTuples don't survive serialization).
+            def leaf_list(x):
+                if isinstance(x, dict):  # orbax may restore lists as dicts
+                    x = [x[k] for k in sorted(x, key=int)]
+                return [jnp.asarray(v) for v in x]
+
+            params = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(params), leaf_list(state["param_leaves"])
+            )
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state), leaf_list(state["opt_leaves"])
+            )
+            start = int(state["step"])
+            losses = [float(x) for x in state["losses"]]
+
     step = make_train_step(
         base_scene, camera, mesh, optimizer, width, height,
         spp=spp, config=config, cubemap=cubemap,
     )
 
     target = jnp.asarray(target, jnp.float32)
-    losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         params, opt_state, loss = step(
             params, opt_state, target, jax.random.fold_in(key, i)
         )
         losses.append(float(loss))
         if callback is not None:
             callback(i, losses[-1], params)
+        if checkpoint_dir is not None and (
+            (i + 1) % checkpoint_every == 0 or i + 1 == steps
+        ):
+            from ray_tracing_tpu.diff import checkpoint as ckpt
+
+            ckpt.save_checkpoint(
+                checkpoint_dir,
+                {
+                    "param_leaves": list(jax.tree_util.tree_leaves(params)),
+                    "opt_leaves": list(jax.tree_util.tree_leaves(opt_state)),
+                    "step": i + 1,
+                    "losses": jnp.asarray(losses),
+                },
+                i + 1,
+            )
 
     scene = apply_params(base_scene, params["scene"])
     cam = dataclasses.replace(camera, **params["camera"])

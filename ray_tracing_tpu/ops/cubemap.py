@@ -138,3 +138,21 @@ def constant_sky(color=(0.0, 0.0, 0.0)) -> CubemapData:
 
     c = np.broadcast_to(np.asarray(color, np.float32), (6, 1, 1, 3))
     return CubemapData.from_faces(c)
+
+
+def gradient_sky(size: int = 32) -> CubemapData:
+    """Smooth synthetic sky with per-face linear ramps. Radiance varies with
+    direction, so (with env_filter="bilinear") geometry/camera gradients are
+    non-degenerate — the right default for inverse rendering when no real
+    skybox is loaded (a constant sky makes position gradients exactly zero)."""
+    import numpy as np
+
+    yy, xx = np.meshgrid(
+        np.linspace(0.0, 1.0, size), np.linspace(0.0, 1.0, size), indexing="ij"
+    )
+    faces = np.zeros((6, size, size, 3), np.float32)
+    for f in range(6):
+        faces[f, ..., 0] = 0.15 + 0.7 * xx * ((f % 3) + 1) / 3
+        faces[f, ..., 1] = 0.2 + 0.6 * yy
+        faces[f, ..., 2] = 0.25 + 0.1 * f + 0.4 * xx * (1 - yy)
+    return CubemapData.from_faces(faces)

@@ -1,0 +1,65 @@
+"""Checkpoint/resume tests (new capability — SURVEY.md §5 checkpoint row)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ray_tracing_tpu import Camera, RenderConfig
+from ray_tracing_tpu.diff.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from ray_tracing_tpu.diff.inverse import fit
+from ray_tracing_tpu.ops.cubemap import constant_sky
+from ray_tracing_tpu.parallel.mesh import make_mesh
+from ray_tracing_tpu.parallel.render import render_image_sharded
+from ray_tracing_tpu.scene.types import ObjectSpec, Scene
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state = {
+        "params": {"a": jnp.arange(6.0).reshape(2, 3), "b": jnp.float32(3.5)},
+        "step": 7,
+        "losses": jnp.asarray([1.0, 0.5]),
+    }
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, state, 7)
+    assert latest_step(d) == 7
+    back = restore_checkpoint(d)
+    np.testing.assert_allclose(np.asarray(back["params"]["a"]), np.arange(6).reshape(2, 3))
+    assert float(back["params"]["b"]) == 3.5
+    assert int(back["step"]) == 7
+    save_checkpoint(d, state, 12)
+    assert latest_step(d) == 12
+    assert restore_checkpoint(str(tmp_path / "nothing")) is None
+
+
+def test_fit_resumes_from_checkpoint(tmp_path):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple virtual devices")
+    cfg = RenderConfig(bounces=2, shadow_samples=1, env_filter="bilinear")
+    sky = constant_sky((0.8, 0.7, 0.6))
+    cam = Camera.default()
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    true_scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3,
+                   albedo=(0.9, 0.2, 0.3), roughness=1.0),
+    ])
+    target = render_image_sharded(true_scene, cam, 32, 24, jax.random.key(1),
+                                  mesh, spp=2, config=cfg, cubemap=sky)
+    start = dataclasses.replace(true_scene, albedo=jnp.array([[0.3, 0.7, 0.7]]))
+
+    d = str(tmp_path / "fitck")
+    common = dict(
+        mesh=mesh, scene_fields=("albedo",), lr=5e-2, spp=2,
+        config=cfg, cubemap=sky, checkpoint_dir=d, checkpoint_every=5,
+    )
+    # run 10 steps, checkpointing every 5
+    _, _, losses10 = fit(start, cam, target, steps=10, **common)
+    assert latest_step(d) == 10
+    # "restart after preemption": ask for 20 steps — resumes at 10
+    rec, _, losses20 = fit(start, cam, target, steps=20, **common)
+    assert len(losses20) == 20
+    assert losses20[:10] == pytest.approx(losses10, rel=1e-6)
+    assert losses20[-1] < losses10[0]
