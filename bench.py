@@ -68,11 +68,19 @@ def main():
     rays = WIDTH * HEIGHT * traces_per_sample
     fwd_mrays = rays / dt_fwd / 1e6
 
-    # ---- forward + backward (gradients w.r.t. all scene parameters) ----
-    bwd = jax.jit(jax.grad(lambda s, k: render_sum(s, k, SPP_BWD)))
-    jax.block_until_ready(bwd(scene, jax.random.key(0)))  # compile + warm
+    # ---- forward + backward: Pallas fwd + Pallas custom-VJP backward,
+    # gradients w.r.t. all scene parameters ----
+    def loss_pallas(scene, seed):
+        img = render_image_pallas(
+            scene, camera, WIDTH, HEIGHT, seed, spp=SPP_BWD,
+            config=config, cubemap=cubemap,
+        )
+        return jnp.sum(img)
+
+    bwd = jax.jit(jax.grad(loss_pallas))
+    jax.block_until_ready(bwd(scene, 0))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(bwd(scene, jax.random.key(1)))
+    jax.block_until_ready(bwd(scene, 1))
     dt_bwd = (time.perf_counter() - t0) / SPP_BWD
     bwd_mrays = rays / dt_bwd / 1e6
 

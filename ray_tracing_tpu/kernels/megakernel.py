@@ -1,28 +1,34 @@
-"""Pallas TPU megakernel: ray-gen + bounce loop + shading fused per tile.
+"""Pallas TPU megakernels: ray-gen + bounce loop + shading fused per tile,
+forward AND backward.
 
 The pure-XLA path (render/integrator.py) round-trips every (H, W) plane
-through HBM at each fusion boundary of the 10-bounce loop. This kernel
-keeps the ENTIRE ray state of a row-tile resident in VMEM for the whole
-loop: ray origin/direction, throughput, radiance, masks — zero HBM traffic
-except the final tile stores. Random numbers come from the hardware PRNG
-(pltpu.prng_random_bits) instead of XLA threefry.
+through HBM at each fusion boundary of the 10-bounce loop. These kernels
+keep the ENTIRE ray state of a pixel tile resident in VMEM for the whole
+loop — zero HBM traffic except the final tile stores. Random numbers come
+from the hardware PRNG (pltpu.prng_random_bits).
 
-Semantics reuse: the kernel body calls the very same `trace`,
-`trace_shadow`, Vec3 algebra, and shading steps as the XLA integrator
-(they are pure jnp on component planes — Pallas runs them unchanged), so
-there is a single source of truth for the reference physics
-(src/main.c:131-272). Only the RNG source and the sky handling differ:
+Architecture:
 
-  * RNG: hardware PRNG seeded per (tile, sample); streams differ from the
-    XLA path's threefry, so images agree statistically, not bitwise.
-  * Sky: the cubemap gather stays OUTSIDE the kernel (TPU kernels have no
-    per-lane HBM gather). The kernel emits (radiance, sky_dir,
-    sky_throughput, died_by_miss) per pixel; the caller finishes with one
-    XLA gather — same deferred-sky trick the integrator uses.
+  * `tile_physics` — the reference estimator (src/main.c:131-272) as a pure
+    jnp function over one tile, parameterized by a *draw provider*. The
+    SAME function runs in the forward kernel, the backward kernel, and the
+    tests.
+  * draw providers — `StreamingDraws` generates random numbers on demand
+    (forward); `PrecomputedDraws` generates the identical stream up front
+    so the physics is a pure function of (params, draws) that `jax.vjp`
+    can differentiate (backward). Both call the PRNG in the same order, so
+    the backward re-materializes the exact forward paths from the seed: no
+    residuals ever leave VMEM.
+  * `_render_tiles_core` — jax.custom_vjp wrapper. Forward = fwd kernel;
+    backward = bwd kernel computing d(all tile outputs)/d(packed scene,
+    camera pack) via jax.vjp *inside* the kernel, accumulating parameter
+    gradients across the sequential grid into a single (N,16) block.
 
-The kernel is forward-only; training/backward uses the XLA path (its
-gradients are FD-validated). A Pallas backward with re-seeded identical
-streams is the planned next step.
+Sky handling: the cubemap gather stays OUTSIDE the kernel (TPU kernels
+have no per-lane HBM gather). The kernels emit (radiance, sky_dir,
+sky_throughput, died_by_miss) per pixel; the caller finishes with one XLA
+gather — the same deferred-sky trick the XLA integrator uses. Gradients
+flow through those outputs automatically.
 """
 
 from __future__ import annotations
@@ -40,13 +46,16 @@ from ray_tracing_tpu.ops.cubemap import CubemapData, constant_sky, sample_cubema
 from ray_tracing_tpu.ops.intersect import trace, trace_shadow
 from ray_tracing_tpu.ops.vec import Vec3, fresnel_schlick
 from ray_tracing_tpu.render.camera import Camera, screen_height
-from ray_tracing_tpu.scene.types import Scene
+from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene
 
-LANE = 128          # TPU lane width: image width padded to a multiple
+LANE = 128
 DEFAULT_TILE_H = 16
-DEFAULT_TILE_W = 512  # bounds the kernel's live VMEM temporaries
+DEFAULT_TILE_W = 512   # forward tile; bounds live VMEM temporaries
+BWD_TILE_H = 16
+BWD_TILE_W = 256       # backward holds draws + vjp residuals: smaller tile
+                       # (16x512 exceeds scoped VMEM; 16x256 measured best)
 
-# Packed scene layout (one SMEM row per object):
+# Packed scene layout (one row per object), shared with native/rt_native.cpp:
 # cols 0-2 p0 | 3-5 p1 | 6-8 albedo | 9 roughness | 10 reflectance |
 # 11 metallic | 12-14 emission_color * emission_power | 15 pad
 SCENE_COLS = 16
@@ -71,8 +80,8 @@ def pack_scene(scene: Scene):
 
 
 class SceneView:
-    """Duck-typed Scene over the packed SMEM ref — same accessor methods
-    trace()/trace_shadow() use, static topology from the real Scene."""
+    """Duck-typed Scene over a packed (N,16) ref OR array — same accessor
+    methods trace()/trace_shadow() use, static topology carried alongside."""
 
     def __init__(self, ref, obj_type, light_index):
         self._r = ref
@@ -88,8 +97,6 @@ class SceneView:
         return self.light_index >= 0
 
     def is_sphere(self, i):
-        from ray_tracing_tpu.scene.types import OBJ_SPHERE
-
         return self.obj_type[i] == OBJ_SPHERE
 
     def center(self, i):
@@ -133,102 +140,135 @@ class SceneView:
         )
 
 
+# ---------------------------------------------------------------------------
+# Random draws
+# ---------------------------------------------------------------------------
+
+
 def _uniform(shape):
     """U[0,1) from the hardware PRNG (24-bit mantissa path). prng_random_bits
     yields SIGNED int32 — bitcast before shifting or >> sign-extends."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # >>8 leaves 24 bits => sign-safe as int32 (Mosaic lacks uint32->f32)
     top24 = pltpu.bitcast(bits >> 8, jnp.int32)
     return top24.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _rand_dir(shape, cube_biased: bool) -> Vec3:
+def _rand_dir_from_uniforms(ux, uy, uz, cube_biased: bool) -> Vec3:
     if cube_biased:
         # normalize(U[-1,1]^3) — src/vector.c:99-111
-        v = Vec3(
-            _uniform(shape) * 2.0 - 1.0,
-            _uniform(shape) * 2.0 - 1.0,
-            _uniform(shape) * 2.0 - 1.0,
-        )
-        return v.normalize()
-    # Box-Muller-free uniform sphere: z in [-1,1], phi in [0,2pi)
-    z = _uniform(shape) * 2.0 - 1.0
-    phi = _uniform(shape) * (2.0 * math.pi)
+        return Vec3(ux * 2.0 - 1.0, uy * 2.0 - 1.0, uz * 2.0 - 1.0).normalize()
+    z = ux * 2.0 - 1.0
+    phi = uy * (2.0 * math.pi)
     r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
-def _kernel(
-    scene_ref,  # SMEM (N, 16): packed scene (see pack_scene)
-    cam_ref,    # SMEM (16,): pos3 ub3 vb3 w3 sw sh pad2
-    seed_ref,   # SMEM (1,): int32 base seed
-    out_r, out_g, out_b,          # VMEM (TILE_H, WP) radiance
-    sky_x, sky_y, sky_z,          # VMEM: death direction
-    skc_r, skc_g, skc_b,          # VMEM: throughput at death
-    miss_ref,                     # VMEM: 1.0 where the ray left the scene
-    *,
-    obj_type: tuple,
-    light_index: int,
-    config: RenderConfig,
-    width: int,
-    height: int,
-    tile_h: int,
-    tile_w: int,
-):
-    scene = SceneView(scene_ref, obj_type, light_index)
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    # Knuth multiplicative hash (0x9E3779B1 as signed i32) decorrelates tiles.
-    tile_id = i * pl.num_programs(1) + j
-    pltpu.prng_seed(seed_ref[0] + tile_id * jnp.int32(-1640531535))
+class StreamingDraws:
+    """Draws generated on demand in a FIXED call order (forward kernel).
+    The order contract: per bounce b: shadow(b) [ns x 3 uniforms], dir(b)
+    [3 uniforms], branch(b) [1 uniform]."""
 
-    shape = (tile_h, tile_w)
-    xs = (
-        jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
-        + j.astype(jnp.float32) * tile_w
-    )
-    ys = (
-        jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-        + i.astype(jnp.float32) * tile_h
-    )
+    def __init__(self, shape, config: RenderConfig):
+        self.shape = shape
+        self.config = config
 
-    # pixel -> screen coords with the reference flips (src/main.c:293-296)
-    u = 1.0 - xs / (width - 1)
-    v = 1.0 - ys / (height - 1)
+    def _dir(self, shape):
+        return _rand_dir_from_uniforms(
+            _uniform(shape), _uniform(shape), _uniform(shape),
+            self.config.cube_biased_sampling,
+        )
 
-    pos = Vec3(cam_ref[0], cam_ref[1], cam_ref[2])
-    ub = Vec3(cam_ref[3], cam_ref[4], cam_ref[5])
-    vb = Vec3(cam_ref[6], cam_ref[7], cam_ref[8])
-    w = Vec3(cam_ref[9], cam_ref[10], cam_ref[11])
-    sw, sh = cam_ref[12], cam_ref[13]
+    def shadow(self, b) -> Vec3:
+        return self._dir((self.config.shadow_samples, *self.shape))
 
-    cu = (u - 0.5) * sw
-    cv = (v - 0.5) * sh
+    def direction(self, b) -> Vec3:
+        return self._dir(self.shape)
+
+    def branch(self, b):
+        return _uniform(self.shape)
+
+
+class PrecomputedDraws:
+    """All draws generated up front in the SAME order as StreamingDraws, so
+    both providers see bit-identical streams from the same seed. Consumed by
+    index — a pure function of its arrays, hence differentiable around."""
+
+    def __init__(self, shape, config: RenderConfig):
+        cfg = config
+        cube = cfg.cube_biased_sampling
+        self._shadow = []
+        self._dir = []
+        self._branch = []
+        for _ in range(cfg.bounces):
+            self._shadow.append(
+                _rand_dir_from_uniforms(
+                    _uniform((cfg.shadow_samples, *shape)),
+                    _uniform((cfg.shadow_samples, *shape)),
+                    _uniform((cfg.shadow_samples, *shape)),
+                    cube,
+                )
+            )
+            self._dir.append(
+                _rand_dir_from_uniforms(
+                    _uniform(shape), _uniform(shape), _uniform(shape), cube
+                )
+            )
+            self._branch.append(_uniform(shape))
+
+    def shadow(self, b) -> Vec3:
+        return self._shadow[b]
+
+    def direction(self, b) -> Vec3:
+        return self._dir[b]
+
+    def branch(self, b):
+        return self._branch[b]
+
+
+# ---------------------------------------------------------------------------
+# Tile physics — the reference estimator, pure jnp
+# ---------------------------------------------------------------------------
+
+
+def camera_rays_from_pack(cam, u, v, shape):
+    """cam: length-16 indexable (ref or array) -> (ro, rd) for screen (u,v)."""
+    ub = Vec3(cam[3], cam[4], cam[5])
+    vb = Vec3(cam[6], cam[7], cam[8])
+    w = Vec3(cam[9], cam[10], cam[11])
+    cu = (u - 0.5) * cam[12]
+    cv = (v - 0.5) * cam[13]
     rd = Vec3(
         cu * ub.x + cv * vb.x - w.x,
         cu * ub.y + cv * vb.y - w.y,
         cu * ub.z + cv * vb.z - w.z,
     )
     ro = Vec3(
-        jnp.full(shape, pos.x), jnp.full(shape, pos.y), jnp.full(shape, pos.z)
+        jnp.full(shape, cam[0]), jnp.full(shape, cam[1]), jnp.full(shape, cam[2])
     )
+    return ro, rd
+
+
+def tile_physics(scene: SceneView, cam, u, v, draws, config: RenderConfig, shape):
+    """Full per-tile estimator (src/main.c:131-272). Returns 10 planes:
+    (r, g, b, sky_x, sky_y, sky_z, skc_r, skc_g, skc_b, miss_f32)."""
+    ro, rd = camera_rays_from_pack(cam, u, v, shape)
 
     contrib = Vec3.full(shape, 1.0)
     result = Vec3.zeros(shape)
     # NOTE: comparisons, not bool constants — Mosaic has no i8->i1 trunc.
-    alive = xs >= 0.0
+    alive = u >= -1e30
     sky_dir = Vec3.full(shape, 1.0)
     sky_contrib = Vec3.zeros(shape)
-    died_miss = xs < 0.0
+    died_miss = u < -1e30
 
     if scene.has_light:
         light_origin = scene.origin_of(scene.light_index)
 
-    # ---- the bounce loop, unrolled (static bounces; src/main.c:156-264)
-    for _ in range(config.bounces):
+    for b in range(config.bounces):
         d = rd.normalize()
         h = trace(scene, ro, rd)
 
+        # miss: remember direction + throughput for the deferred sky gather
         miss_now = alive & ~h.hit
         sky_dir = Vec3.where(miss_now, d, sky_dir)
         sky_contrib = Vec3.where(miss_now, contrib, sky_contrib)
@@ -237,22 +277,19 @@ def _kernel(
 
         # next-event light sampling (src/main.c:180-210)
         if scene.has_light:
-            shadow_sum = Vec3.zeros(shape)
-            num = jnp.zeros(shape, jnp.float32)
-            for _k in range(config.shadow_samples):
-                rand_k = _rand_dir(shape, config.cube_biased_sampling)
-                accept = rand_k.dot(h.normal) > 0
-                to_light = light_origin - h.point
-                sample_dir = (rand_k * config.shadow_spread + to_light).normalize()
-                sample_ro = h.point + sample_dir * config.hit_offset
-                hit2, emit2 = trace_shadow(scene, sample_ro, sample_dir)
-                take = accept & hit2
-                shadow_sum = Vec3(
-                    shadow_sum.x + jnp.where(take, emit2.x, 0.0),
-                    shadow_sum.y + jnp.where(take, emit2.y, 0.0),
-                    shadow_sum.z + jnp.where(take, emit2.z, 0.0),
-                )
-                num = num + accept.astype(jnp.float32)
+            rand_dirs = draws.shadow(b)  # Vec3 of (ns, *shape)
+            accept = rand_dirs.dot(h.normal) > 0
+            to_light = light_origin - h.point
+            sample_dir = (rand_dirs * config.shadow_spread + to_light).normalize()
+            sample_ro = h.point + sample_dir * config.hit_offset
+            hit2, emit2 = trace_shadow(scene, sample_ro, sample_dir)
+            take = accept & hit2
+            shadow_sum = Vec3(
+                jnp.sum(jnp.where(take, emit2.x, 0.0), axis=0),
+                jnp.sum(jnp.where(take, emit2.y, 0.0), axis=0),
+                jnp.sum(jnp.where(take, emit2.z, 0.0), axis=0),
+            )
+            num = jnp.sum(accept.astype(jnp.float32), axis=0)
             sampled_light = shadow_sum * (1.0 / jnp.maximum(num, 1.0))
         else:
             sampled_light = Vec3.zeros(shape)
@@ -268,12 +305,12 @@ def _kernel(
         )
         F = fresnel_schlick(NoV, f0)
 
-        rand_dir = _rand_dir(shape, config.cube_biased_sampling)
+        rand_dir = draws.direction(b)
         rand_dir = Vec3.where(rand_dir.dot(h.normal) < 0, -rand_dir, rand_dir)
 
         result = result + Vec3.where(active, h.emission * contrib, Vec3.zeros(shape))
 
-        u_branch = _uniform(shape)
+        u_branch = draws.branch(b)
         specular = (h.metallic > 0.001) | (u_branch <= F.avg())
         reflect_dir = rd.reflect(h.normal)
         out_spec = (rand_dir * h.roughness + reflect_dir).normalize()
@@ -295,16 +332,218 @@ def _kernel(
         contrib = Vec3.where(active, contrib_new, contrib)
         alive = active
 
-    out_r[...] = result.x
-    out_g[...] = result.y
-    out_b[...] = result.z
-    sky_x[...] = sky_dir.x
-    sky_y[...] = sky_dir.y
-    sky_z[...] = sky_dir.z
-    skc_r[...] = sky_contrib.x
-    skc_g[...] = sky_contrib.y
-    skc_b[...] = sky_contrib.z
-    miss_ref[...] = died_miss.astype(jnp.float32)
+    return (
+        result.x, result.y, result.z,
+        sky_dir.x, sky_dir.y, sky_dir.z,
+        sky_contrib.x, sky_contrib.y, sky_contrib.z,
+        died_miss.astype(jnp.float32),
+    )
+
+
+def _tile_uv(i, j, tile_h, tile_w, width, height):
+    shape = (tile_h, tile_w)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        + j.astype(jnp.float32) * tile_w
+    )
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        + i.astype(jnp.float32) * tile_h
+    )
+    # pixel -> screen coords with the reference flips (src/main.c:293-296)
+    u = 1.0 - xs / (width - 1)
+    v = 1.0 - ys / (height - 1)
+    return u, v
+
+
+def _seed_tile(seed_scalar):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # Knuth multiplicative hash (0x9E3779B1 as signed i32) decorrelates tiles.
+    tile_id = i * pl.num_programs(1) + j
+    pltpu.prng_seed(seed_scalar + tile_id * jnp.int32(-1640531535))
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    scene_ref,  # SMEM (N, 16)
+    cam_ref,    # SMEM (16,)
+    seed_ref,   # SMEM (1,) int32
+    *out_refs,  # 10 x VMEM (tile_h, tile_w)
+    obj_type,
+    light_index,
+    config,
+    width,
+    height,
+    tile_h,
+    tile_w,
+):
+    _seed_tile(seed_ref[0])
+    scene = SceneView(scene_ref, obj_type, light_index)
+    i, j = pl.program_id(0), pl.program_id(1)
+    u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
+    draws = StreamingDraws((tile_h, tile_w), config)
+    outs = tile_physics(scene, cam_ref, u, v, draws, config, (tile_h, tile_w))
+    for ref, val in zip(out_refs, outs):
+        ref[...] = val
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel — vjp of tile_physics inside the kernel, grads accumulated
+# across the (sequential) grid
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    scene_ref,   # VMEM (N, 16) — differentiable input, read as a value
+    cam_ref,     # VMEM (1, 16) — differentiable input
+    seed_ref,    # SMEM (1,) int32
+    *rest,       # 10 cotangent refs, then grad_scene_ref, grad_cam_ref
+    obj_type,
+    light_index,
+    config,
+    width,
+    height,
+    tile_h,
+    tile_w,
+):
+    g_refs = rest[:10]
+    grad_scene_ref, grad_cam_ref = rest[10], rest[11]
+
+    _seed_tile(seed_ref[0])
+    i, j = pl.program_id(0), pl.program_id(1)
+    u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
+
+    # Regenerate the forward's exact random stream for this tile, BEFORE
+    # tracing the differentiable closure (the PRNG is stateful).
+    draws = PrecomputedDraws((tile_h, tile_w), config)
+
+    scene_arr = scene_ref[...]           # (N, 16) value
+    cam_arr = cam_ref[...]               # (1, 16) value
+
+    def f(scene_arr, cam_arr):
+        view = SceneView(scene_arr, obj_type, light_index)
+        cam = cam_arr[0]
+        return tile_physics(view, cam, u, v, draws, config, (tile_h, tile_w))
+
+    _, vjp = jax.vjp(f, scene_arr, cam_arr)
+    cotangents = tuple(ref[...] for ref in g_refs)
+    g_scene, g_cam = vjp(cotangents)
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        grad_scene_ref[...] = g_scene
+        grad_cam_ref[...] = g_cam
+
+    @pl.when(~first)
+    def _():
+        grad_scene_ref[...] += g_scene
+        grad_cam_ref[...] += g_cam
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core
+# ---------------------------------------------------------------------------
+
+
+def _plane_shape(width, height, tile_h, tile_w):
+    wp = pl.cdiv(width, tile_w) * tile_w
+    hp = pl.cdiv(height, tile_h) * tile_h
+    return hp, wp
+
+
+def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta):
+    (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
+    hp, wp = _plane_shape(width, height, tile_h, tile_w)
+    grid = (hp // tile_h, wp // tile_w)
+    plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    kernel = functools.partial(
+        _fwd_kernel,
+        obj_type=obj_type, light_index=light_index, config=config,
+        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+    )
+    block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[block] * 10,
+        out_shape=[plane] * 10,
+    )(scene_packed, cam_pack, seed_i32)
+
+
+def _run_bwd(scene_packed, cam_pack, seed_i32, cotangents, *, meta):
+    (obj_type, light_index, config, width, height, _th, _tw) = meta
+    n = len(obj_type)
+    hp, wp = _plane_shape(width, height, _th, _tw)
+    # cotangent planes are (hp, wp) from the fwd tiling; bwd grid must tile
+    # the same padded area — shrink tiles for small frames
+    tile_h = math.gcd(BWD_TILE_H, hp)
+    tile_w = math.gcd(BWD_TILE_W, wp)
+    grid = (hp // tile_h, wp // tile_w)
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        obj_type=obj_type, light_index=light_index, config=config,
+        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+    )
+    block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    g_scene, g_cam = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            whole((n, SCENE_COLS)),                    # scene (VMEM value)
+            whole((1, SCENE_COLS)),                    # cam pack (VMEM value)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # seed
+        ]
+        + [block] * 10,
+        out_specs=[whole((n, SCENE_COLS)), whole((1, SCENE_COLS))],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, SCENE_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((1, SCENE_COLS), jnp.float32),
+        ],
+    )(scene_packed, cam_pack.reshape(1, SCENE_COLS), seed_i32, *cotangents)
+    return g_scene, g_cam.reshape(SCENE_COLS)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_core(meta):
+    """custom_vjp core for one (topology, config, geometry) signature."""
+
+    @jax.custom_vjp
+    def core(scene_packed, cam_pack, seed_f32):
+        return _run_fwd(scene_packed, cam_pack, seed_f32.astype(jnp.int32), meta=meta)
+
+    def core_fwd(scene_packed, cam_pack, seed_f32):
+        out = core(scene_packed, cam_pack, seed_f32)
+        return out, (scene_packed, cam_pack, seed_f32)
+
+    def core_bwd(res, cotangents):
+        scene_packed, cam_pack, seed_f32 = res
+        g_scene, g_cam = _run_bwd(
+            scene_packed, cam_pack, seed_f32.astype(jnp.int32),
+            tuple(cotangents), meta=meta,
+        )
+        return g_scene, g_cam, jnp.zeros_like(seed_f32)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
 
 
 def _camera_pack(camera: Camera, aspect: float, config: RenderConfig):
@@ -336,31 +575,40 @@ def render_tiles_pallas(
     tile_w: int = DEFAULT_TILE_W,
     interpret: bool = False,
 ):
-    """One sample per pixel over a padded (HP, WP) grid. Returns a dict of
-    (HP, WP) planes: radiance, sky direction, sky throughput, miss mask."""
-    wp = pl.cdiv(width, tile_w) * tile_w
-    hp = pl.cdiv(height, tile_h) * tile_h
-    grid = (hp // tile_h, wp // tile_w)
-
-    cam_pack = _camera_pack(camera, width / height, config)
-    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
-
-    plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
-    out_shape = [plane] * 10
-
-    kernel = functools.partial(
-        _kernel,
-        obj_type=scene.obj_type,
-        light_index=scene.light_index,
-        config=config,
-        width=width,
-        height=height,
-        tile_h=tile_h,
-        tile_w=tile_w,
+    """One sample per pixel over the padded (HP, WP) grid. Returns a dict of
+    (HP, WP) planes. Differentiable w.r.t. scene and camera (custom VJP:
+    Pallas forward + Pallas backward with re-seeded identical streams)."""
+    meta = (
+        scene.obj_type, scene.light_index, config, width, height, tile_h, tile_w
     )
+    cam_pack = _camera_pack(camera, width / height, config)
+    seed_f32 = jnp.asarray(seed, jnp.float32).reshape((1,))
 
+    if interpret:  # test path: fwd only, through the TPU interpreter
+        outs = _run_fwd_interpret(
+            pack_scene(scene), cam_pack, seed_f32.astype(jnp.int32),
+            meta=meta, interpret=interpret,
+        )
+    else:
+        core = _make_core(meta)
+        outs = core(pack_scene(scene), cam_pack, seed_f32)
+
+    names = ["r", "g", "b", "sx", "sy", "sz", "cr", "cg", "cb", "miss"]
+    return dict(zip(names, outs))
+
+
+def _run_fwd_interpret(scene_packed, cam_pack, seed_i32, *, meta, interpret):
+    (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
+    hp, wp = _plane_shape(width, height, tile_h, tile_w)
+    grid = (hp // tile_h, wp // tile_w)
+    plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    kernel = functools.partial(
+        _fwd_kernel,
+        obj_type=obj_type, light_index=light_index, config=config,
+        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+    )
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -369,12 +617,9 @@ def render_tiles_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[block] * 10,
-        out_shape=out_shape,
+        out_shape=[plane] * 10,
         interpret=interpret,
-    )(pack_scene(scene), cam_pack, seed)
-
-    names = ["r", "g", "b", "sx", "sy", "sz", "cr", "cg", "cb", "miss"]
-    return dict(zip(names, outs))
+    )(scene_packed, cam_pack, seed_i32)
 
 
 def render_image_pallas(
@@ -390,8 +635,9 @@ def render_image_pallas(
     tile_w: int = DEFAULT_TILE_W,
     interpret: bool = False,
 ):
-    """Full forward render via the megakernel + deferred XLA sky gather.
-    Drop-in for render_image (same statistics, different RNG streams)."""
+    """Full render via the megakernel + deferred XLA sky gather. Drop-in for
+    render_image (same statistics, different RNG streams) and differentiable
+    end-to-end (fwd+bwd both Pallas)."""
     if cubemap is None:
         cubemap = constant_sky()
     seed = jnp.asarray(seed, jnp.int32)
@@ -411,8 +657,7 @@ def render_image_pallas(
     if spp == 1:
         out = one(seed)
     else:
-        hp = pl.cdiv(height, tile_h) * tile_h
-        wp = pl.cdiv(width, tile_w) * tile_w
+        hp, wp = _plane_shape(width, height, tile_h, tile_w)
 
         def body(acc, s):
             return acc + one(s), None

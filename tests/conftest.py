@@ -18,7 +18,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# RTT_TPU=1 runs the suite on the real TPU backend (for the TPU-gated
+# kernel-gradient tests); default is CPU with 8 virtual devices.
+if os.environ.get("RTT_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

