@@ -113,12 +113,23 @@ def main(argv=None):
     view_w = min(args.width, 192)   # terminal cells; keep aspect via height/2
     view_h = min(args.height, 108)
 
-    @functools.partial(jax.jit, static_argnames=("scale",))
-    def pass_fn(scene, camera, film, key, scale):
-        return render_pass(scene, camera, film, key, scale, config, cubemap)
+    if use_pallas:
+        from ray_tracing_tpu.render.film import render_pass_pallas
 
-    def render_fn(scene, camera, film, key, scale):
-        return pass_fn(scene, camera, film, key, scale=scale)
+        @functools.partial(jax.jit, static_argnames=("scale",))
+        def pass_fn(scene, camera, film, seed, scale):
+            return render_pass_pallas(scene, camera, film, seed, scale, config, cubemap)
+
+        def render_fn(scene, camera, film, key, scale):
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            return pass_fn(scene, camera, film, seed, scale=scale)
+    else:
+        @functools.partial(jax.jit, static_argnames=("scale",))
+        def pass_fn(scene, camera, film, key, scale):
+            return render_pass(scene, camera, film, key, scale, config, cubemap)
+
+        def render_fn(scene, camera, film, key, scale):
+            return pass_fn(scene, camera, film, key, scale=scale)
 
     viewer = Viewer(scene, camera, view_w, view_h, config, render_fn)
     print("Workers started (device render loop)", file=sys.stderr)

@@ -139,15 +139,28 @@ class Viewer:
 
     def step(self, key):
         """One refinement pass at the current pyramid scale."""
+        from ray_tracing_tpu.utils.profiling import RateMeter, rays_per_frame
+
+        if not hasattr(self, "meter"):
+            self.meter = RateMeter()
         scale = self.scales[min(self.pass_i, len(self.scales) - 1)]
         self.film = self.render_fn(self.scene, self.camera, self.film, key, scale)
+        self.meter.add(
+            rays_per_frame(self.width // scale, self.height // scale, 1, self.config)
+        )
         self.pass_i += 1
         self.frame_count += 1
         return scale
 
     def draw(self):
         img = self.resolve_fn(self.film)
-        self.out.write("\x1b[H" + frame_to_ansi(img))
+        hud = ""
+        if hasattr(self, "meter"):
+            hud = (
+                f"\x1b[0m\n pass {self.pass_i}  weight {float(self.film.weight):.2f}"
+                f"  {self.meter.format()}  [WASD move  IJKL look  SPACE shot  Q quit]\x1b[K"
+            )
+        self.out.write("\x1b[H" + frame_to_ansi(img) + hud)
         self.out.flush()
 
 

@@ -49,8 +49,8 @@ from ray_tracing_tpu.render.camera import Camera, screen_height
 from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene
 
 LANE = 128
-DEFAULT_TILE_H = 16
-DEFAULT_TILE_W = 512   # forward tile; bounds live VMEM temporaries
+DEFAULT_TILE_H = 8
+DEFAULT_TILE_W = 512   # forward tile; 8x512 measured best on v5e (28 Grays/s)
 BWD_TILE_H = 16
 BWD_TILE_W = 256       # backward holds draws + vjp residuals: smaller tile
                        # (16x512 exceeds scoped VMEM; 16x256 measured best)

@@ -113,6 +113,31 @@ def render_pass(
     return Film(accum=film.accum + full * w, weight=film.weight + w)
 
 
+def render_pass_pallas(
+    scene: Scene,
+    camera: Camera,
+    film: Film,
+    seed,
+    scale: int = 1,
+    config: RenderConfig = DEFAULT_CONFIG,
+    cubemap: CubemapData | None = None,
+) -> Film:
+    """render_pass on the Pallas megakernel (TPU fast path for the
+    interactive viewer). Same accumulation semantics, hardware PRNG."""
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+
+    width, height = film.width, film.height
+    lw = max(width // scale, 1)
+    lh = max(height // scale, 1)
+    img = render_image_pallas(
+        scene, camera, lw, lh, seed, spp=1, config=config, cubemap=cubemap
+    )
+    rgb = Vec3(img[..., 0], img[..., 1], img[..., 2])
+    full = upsample_replicate(rgb, scale, width, height)
+    w = jnp.float32(1.0 / (scale * scale))
+    return Film(accum=film.accum + full * w, weight=film.weight + w)
+
+
 def progressive_scales(config: RenderConfig = DEFAULT_CONFIG):
     """The scale schedule a worker walks: init_scale, /2, ..., 1
     (src/main.c:350-354, 401-403)."""

@@ -13,7 +13,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 # Persistent compile cache keeps repeated test runs fast (XLA:CPU compiles of
 # the bounce-loop scan body are ~40s cold).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_rtt")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
