@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="save final render PNG")
+    p.add_argument("--multiscale", action="store_true",
+                   help="coarse-to-fine schedule (recommended for geometry)")
+    p.add_argument("--soft-temp", type=float, default=0.08,
+                   help="soft-silhouette temperature (0 = hard visibility)")
     args = p.parse_args(argv)
 
     import jax
@@ -50,7 +54,8 @@ def main(argv=None):
     from ray_tracing_tpu.scene.parser import parse_scene_file
 
     fields = tuple(args.fields.split(","))
-    config = RenderConfig(bounces=3, shadow_samples=2, env_filter="bilinear")
+    config = RenderConfig(bounces=3, shadow_samples=2, env_filter="bilinear",
+                          soft_silhouette_temp=args.soft_temp)
     # direction-dependent sky => non-degenerate geometry/camera gradients
     cubemap = gradient_sky()
     camera = Camera.default()
@@ -96,13 +101,24 @@ def main(argv=None):
         if i % 10 == 0 or i == args.steps - 1:
             print(f"step {i:5d}  loss {loss:.6f}", file=sys.stderr)
 
-    recovered, _, losses = fit(
-        perturbed, camera, target, mesh,
-        scene_fields=fields, steps=args.steps, lr=args.lr,
-        width=args.width, height=height, spp=spp,
-        config=config, cubemap=cubemap, key=jax.random.fold_in(key, 1000),
-        callback=cb, checkpoint_dir=args.checkpoint_dir,
-    )
+    if args.multiscale:
+        from ray_tracing_tpu.diff.inverse import fit_multiscale
+
+        recovered, _, losses = fit_multiscale(
+            perturbed, camera, target, mesh,
+            scene_fields=fields,
+            schedule=((4, args.steps // 3), (2, args.steps // 3), (1, args.steps // 3)),
+            lr=args.lr, spp=spp, config=config, cubemap=cubemap,
+            key=jax.random.fold_in(key, 1000), callback=cb,
+        )
+    else:
+        recovered, _, losses = fit(
+            perturbed, camera, target, mesh,
+            scene_fields=fields, steps=args.steps, lr=args.lr,
+            width=args.width, height=height, spp=spp,
+            config=config, cubemap=cubemap, key=jax.random.fold_in(key, 1000),
+            callback=cb, checkpoint_dir=args.checkpoint_dir,
+        )
 
     print(f"loss: {losses[0]:.6f} -> {losses[-1]:.6f}", file=sys.stderr)
     for f in fields:

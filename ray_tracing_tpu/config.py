@@ -56,6 +56,14 @@ class RenderConfig:
     # faithful to the reference (src/gpu_and_windowing.c:103-104).
     env_filter: str = "nearest"  # "nearest" | "bilinear"
 
+    # Soft primary-silhouette compositing (Pulsar-style, PAPERS.md): when
+    # > 0, the final pixel is alpha-blended between the traced radiance and
+    # the primary-direction sky with a smooth sphere-coverage alpha, giving
+    # true boundary gradients for sphere-vs-background silhouettes (the
+    # missing term of detached-decision autodiff). 0 = hard visibility
+    # (reference-exact). Typical training value: 0.05-0.2.
+    soft_silhouette_temp: float = 0.0
+
     # Numerics
     normalize_eps: float = 1e-5  # src/vector.c:35,129-138
     zero_eps: float = 1e-4       # iszerof threshold, src/vector.c:79-82

@@ -193,3 +193,55 @@ def fit(
     scene = apply_params(base_scene, params["scene"])
     cam = dataclasses.replace(camera, **params["camera"])
     return scene, cam, losses
+
+
+def fit_multiscale(
+    base_scene: Scene,
+    camera: Camera,
+    target,
+    mesh,
+    scene_fields=("p0",),
+    camera_fields=(),
+    schedule=((4, 60), (2, 60), (1, 80)),
+    lr: float = 2e-2,
+    spp: int = 4,
+    config: RenderConfig = DEFAULT_CONFIG,
+    cubemap: CubemapData | None = None,
+    key=None,
+    callback=None,
+):
+    """Coarse-to-fine inverse rendering: each (downscale, steps) stage
+    optimizes against an area-downsampled target. Low resolutions blur
+    silhouettes across pixels, widening the convergence basin for geometry
+    (the interior-gradient regime's standard remedy); later stages refine.
+
+    Returns (scene, camera, losses-concatenated).
+    """
+    import numpy as np
+
+    if key is None:
+        key = jax.random.key(0)
+    target = jnp.asarray(target, jnp.float32)
+    H, W = target.shape[0], target.shape[1]
+    n_tiles = mesh.shape[TILE_AXIS]
+
+    scene, cam = base_scene, camera
+    all_losses: list[float] = []
+    for stage, (down, steps) in enumerate(schedule):
+        h, w = H // down, W // down
+        h -= h % n_tiles  # keep rows divisible over the tile axis
+        if h <= 0 or w <= 0:
+            continue
+        # area downsample by integer factors
+        ty = (H // h) * h
+        tx = (W // w) * w
+        t_small = target[:ty, :tx].reshape(h, ty // h, w, tx // w, 3).mean(axis=(1, 3))
+        scene, cam, losses = fit(
+            scene, cam, t_small, mesh,
+            scene_fields=scene_fields, camera_fields=camera_fields,
+            steps=steps, lr=lr, width=w, height=h, spp=spp,
+            config=config, cubemap=cubemap,
+            key=jax.random.fold_in(key, stage), callback=callback,
+        )
+        all_losses += losses
+    return scene, cam, all_losses

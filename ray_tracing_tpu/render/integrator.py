@@ -60,6 +60,7 @@ def render_rays(
     shape = jnp.broadcast_shapes(ro.shape, rd.shape)
     ro = ro.broadcast_to(shape)
     rd = rd.broadcast_to(shape)
+    ro0, rd0 = ro, rd  # primary rays, kept for soft-silhouette compositing
 
     if scene.has_light:
         light_origin = scene.origin_of(scene.light_index)
@@ -168,8 +169,36 @@ def render_rays(
     # Deferred sky: one gather for all rays that ever flew out of the scene.
     sky = sample_cubemap(cubemap, sky_dir, bilinear=config.env_filter == "bilinear")
     result = result + Vec3.where(died_miss, sky * sky_contrib, Vec3.zeros(shape))
+    result = result.clip(0.0, 1.0)  # src/main.c:267-269
 
-    return result.clip(0.0, 1.0)  # src/main.c:267-269
+    if config.soft_silhouette_temp > 0:
+        # Soft primary-visibility compositing (differentiable-mode only; no
+        # reference analogue): alpha-blend the traced radiance against the
+        # primary-direction sky with a smooth winner-sphere coverage. This
+        # supplies the silhouette (visibility-boundary) gradient that
+        # detached-decision autodiff drops — see config.soft_silhouette_temp.
+        d0 = rd0.normalize()
+        h0 = trace(scene, ro0, rd0)
+        alpha = jnp.where(h0.hit, 1.0, 0.0)
+        for i in range(scene.num_objects):
+            if not scene.is_sphere(i):
+                continue
+            oc = scene.center(i) - ro0
+            along = oc.dot(d0)
+            d_perp2 = jnp.maximum(oc.norm2() - along * along, 1e-12)
+            d_perp = jnp.sqrt(d_perp2)
+            r = scene.radius(i)
+            a_i = jax.nn.sigmoid(
+                (r - d_perp) / (config.soft_silhouette_temp * jnp.maximum(r, 1e-6))
+            )
+            winner = (h0.obj == i) & h0.hit
+            alpha = jnp.where(winner & (along > 0), a_i, alpha)
+        sky0 = sample_cubemap(
+            cubemap, d0, bilinear=config.env_filter == "bilinear"
+        ).clip(0.0, 1.0)
+        result = result * alpha + sky0 * (1.0 - alpha)
+
+    return result
 
 
 def render_pixels(

