@@ -110,6 +110,25 @@ class Viewer:
         self.film = Film.zero(self.width, self.height)
         self.pass_i = 0
 
+    def resize(self, width: int, height: int):
+        """realloc_frame_buffer semantics (src/main.c:416-448): new buffers
+        at the new size, accumulation restarted."""
+        if (width, height) == (self.width, self.height):
+            return
+        self.width, self.height = width, height
+        self.invalidate()
+
+    def fit_terminal(self, max_w: int = 192, max_h: int = 108) -> None:
+        """Match the render size to the terminal (2 pixel rows per cell,
+        1 line reserved for the HUD)."""
+        try:
+            size = os.get_terminal_size(self.out.fileno())
+        except (OSError, ValueError):
+            return
+        w = max(16, min(size.columns, max_w))
+        h = max(8, min((size.lines - 2) * 2, max_h))
+        self.resize(w, h - h % 2)
+
     def handle_events(self, events) -> bool:
         """Returns False when the loop should exit."""
         speed = self.config.move_speed
@@ -197,7 +216,8 @@ class NativeEventSource:
         self.lib.rt_events_stop()
 
 
-def run_interactive(viewer: Viewer, max_frames=None, use_native: bool = True):
+def run_interactive(viewer: Viewer, max_frames=None, use_native: bool = True,
+                    auto_resize: bool = False):
     """Raw-terminal main loop (the reference's main loop, src/main.c:520-574).
 
     Input comes from the C++ event queue when the native library is
@@ -227,6 +247,8 @@ def run_interactive(viewer: Viewer, max_frames=None, use_native: bool = True):
         viewer.out.write("\x1b[2J")  # clear
         running = True
         while running and (max_frames is None or viewer.frame_count < max_frames):
+            if auto_resize:
+                viewer.fit_terminal()
             events = source.poll() if source is not None else poll_events()
             running = viewer.handle_events(events)
             viewer.step(jax.random.fold_in(key, viewer.frame_count))

@@ -96,6 +96,21 @@ def test_viewer_progressive_and_invalidation():
     assert v.handle_events([(EV_QUIT, None)]) is False
 
 
+def test_viewer_resize():
+    # realloc_frame_buffer semantics: new buffers, accumulation restarted
+    v = make_viewer()
+    v.step(jax.random.key(0))
+    assert float(v.film.weight) > 0
+    v.resize(48, 36)
+    assert (v.width, v.height) == (48, 36)
+    assert float(v.film.weight) == 0.0
+    assert v.pass_i == 0
+    assert v.step(jax.random.key(1)) == 4  # pyramid restarted
+    assert v.film.accum.shape == (36, 48)
+    v.resize(48, 36)  # same size: no-op, keeps accumulation
+    assert float(v.film.weight) > 0
+
+
 def test_viewer_screenshot(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     v = make_viewer()
