@@ -26,8 +26,10 @@ def finite_difference_grad(f, params, eps: float = 1e-3):
     """Central-difference gradient of scalar f(params) w.r.t. every float
     leaf of the pytree `params`. Returns a pytree of the same structure.
 
-    O(2 * num_scalars) evaluations — use tiny parameter trees only.
+    O(2 * num_scalars) evaluations — use tiny parameter trees only. f is
+    jitted here (one compile, then cheap evals).
     """
+    f = jax.jit(f)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     grads = []
     for li, leaf in enumerate(leaves):

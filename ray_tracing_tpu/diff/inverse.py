@@ -51,7 +51,6 @@ def make_train_step(
     spp: int = 4,
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
-    camera_fields: tuple = (),
 ):
     """Build a jitted SPMD train step.
 
