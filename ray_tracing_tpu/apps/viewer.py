@@ -35,37 +35,68 @@ _LOOK_KEYS = {
 }
 
 
+_pending = ""  # carry partial escape sequences across polls
+_pending_age = 0  # polls a lone ESC has waited for a continuation
+
+
 def poll_events(timeout: float = 0.0):
-    """Drain pending keyboard input into an event list (non-blocking)."""
+    """Drain pending keyboard input into an event list (non-blocking).
+
+    Escape sequences can split across reads (arrow-key autorepeat streams
+    3-byte sequences through fixed-size reads), so a trailing partial
+    "\\x1b" / "\\x1b[" is carried to the next poll instead of being
+    misread as a bare ESC (= quit)."""
+    global _pending, _pending_age
     events = []
+    buf = _pending
+    _pending = ""
+    got_new = False
     while select.select([sys.stdin], [], [], timeout)[0]:
         timeout = 0.0
-        ch = os.read(sys.stdin.fileno(), 8).decode(errors="ignore")
+        ch = os.read(sys.stdin.fileno(), 64).decode(errors="ignore")
         if not ch:
             break
-        i = 0
-        while i < len(ch):
-            c = ch[i]
-            if c == "\x1b" and ch[i : i + 3] in _LOOK_KEYS:
-                events.append((EV_LOOK, _LOOK_KEYS[ch[i : i + 3]]))
-                i += 3
-                continue
-            lc = c.lower()
-            if lc == "q" or c == "\x1b":
-                events.append((EV_QUIT, None))
-            elif lc == "w":
-                events.append((EV_W, None))
-            elif lc == "a":
-                events.append((EV_A, None))
-            elif lc == "s":
-                events.append((EV_S, None))
-            elif lc == "d":
-                events.append((EV_D, None))
-            elif lc in _LOOK_KEYS:
-                events.append((EV_LOOK, _LOOK_KEYS[lc]))
-            elif c == " ":
-                events.append((EV_SHOT, None))
-            i += 1
+        buf += ch
+        got_new = True
+    if buf == "\x1b" and not got_new:
+        # a lone ESC that nothing followed: it really was the ESC key
+        _pending_age += 1
+        if _pending_age >= 2:
+            _pending_age = 0
+            return [(EV_QUIT, None)]
+        _pending = buf
+        return events
+    _pending_age = 0
+    ch = buf
+    i = 0
+    while i < len(ch):
+        c = ch[i]
+        if c == "\x1b" and ch[i:] in ("\x1b", "\x1b["):
+            _pending = ch[i:]  # partial sequence: wait for the rest
+            break
+        if c == "\x1b" and ch[i : i + 3] in _LOOK_KEYS:
+            events.append((EV_LOOK, _LOOK_KEYS[ch[i : i + 3]]))
+            i += 3
+            continue
+        if c == "\x1b" and i + 1 < len(ch) and ch[i + 1] == "[":
+            i += 3  # unknown CSI sequence: swallow it
+            continue
+        lc = c.lower()
+        if lc == "q" or c == "\x1b":
+            events.append((EV_QUIT, None))
+        elif lc == "w":
+            events.append((EV_W, None))
+        elif lc == "a":
+            events.append((EV_A, None))
+        elif lc == "s":
+            events.append((EV_S, None))
+        elif lc == "d":
+            events.append((EV_D, None))
+        elif lc in _LOOK_KEYS:
+            events.append((EV_LOOK, _LOOK_KEYS[lc]))
+        elif c == " ":
+            events.append((EV_SHOT, None))
+        i += 1
     return events
 
 

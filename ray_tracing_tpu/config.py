@@ -64,9 +64,9 @@ class RenderConfig:
     # (reference-exact). Typical training value: 0.05-0.2.
     soft_silhouette_temp: float = 0.0
 
-    # Numerics
-    normalize_eps: float = 1e-5  # src/vector.c:35,129-138
-    zero_eps: float = 1e-4       # iszerof threshold, src/vector.c:79-82
+    # Numerics: the reference's epsilons (normalize 1e-5 src/vector.c:35;
+    # iszerof 1e-4 src/vector.c:79) live as constants in ops/vec.py — they
+    # define the semantics rather than tune them, so they are not config.
 
     # Progressive refinement (replaces --init-scale, src/main.c:350-354)
     init_scale: int = 8

@@ -58,7 +58,6 @@ def make_train_step(
     Returns step(params, opt_state, target, key) -> (params, opt_state, loss)
     with target (H, W, 3) sharded (or shardable) over rows.
     """
-    n_tiles = mesh.shape[TILE_AXIS]
     denom = float(width * height * 3)
 
     def local_value_and_grad(params, target_local, key):

@@ -49,11 +49,13 @@ from ray_tracing_tpu.render.camera import Camera, screen_height
 from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene
 
 LANE = 128
-DEFAULT_TILE_H = 8
-DEFAULT_TILE_W = 512   # forward tile; 8x512 measured best on v5e (28 Grays/s)
-BWD_TILE_H = 16
-BWD_TILE_W = 256       # backward holds draws + vjp residuals: smaller tile
-                       # (16x512 exceeds scoped VMEM; 16x256 measured best)
+# ONE tile shape for forward AND backward: the per-tile PRNG seed and the
+# in-tile draw order define the random streams, so the backward can only
+# re-materialize the forward's exact paths if it tiles the image the same
+# way. 16x256 is the largest shape whose backward (vjp residuals in VMEM)
+# fits the scoped-VMEM limit; forward cost vs its solo-best 8x512 is ~5%.
+DEFAULT_TILE_H = 16
+DEFAULT_TILE_W = 256
 
 # Packed scene layout (one row per object), shared with native/rt_native.cpp:
 # cols 0-2 p0 | 3-5 p1 | 6-8 albedo | 9 roughness | 10 reflectance |
@@ -165,12 +167,14 @@ def _rand_dir_from_uniforms(ux, uy, uz, cube_biased: bool) -> Vec3:
 
 class StreamingDraws:
     """Draws generated on demand in a FIXED call order (forward kernel).
-    The order contract: per bounce b: shadow(b) [ns x 3 uniforms], dir(b)
+    The order contract per bounce b: shadow(b) [ns x 3 uniforms, only when
+    the scene has a light — tile_physics never calls it otherwise], dir(b)
     [3 uniforms], branch(b) [1 uniform]."""
 
-    def __init__(self, shape, config: RenderConfig):
+    def __init__(self, shape, config: RenderConfig, has_light: bool):
         self.shape = shape
         self.config = config
+        self.has_light = has_light
 
     def _dir(self, shape):
         return _rand_dir_from_uniforms(
@@ -189,25 +193,27 @@ class StreamingDraws:
 
 
 class PrecomputedDraws:
-    """All draws generated up front in the SAME order as StreamingDraws, so
-    both providers see bit-identical streams from the same seed. Consumed by
+    """All draws generated up front in the SAME order StreamingDraws emits
+    them (including skipping shadow draws for light-less scenes), so both
+    providers see bit-identical streams from the same seed. Consumed by
     index — a pure function of its arrays, hence differentiable around."""
 
-    def __init__(self, shape, config: RenderConfig):
+    def __init__(self, shape, config: RenderConfig, has_light: bool):
         cfg = config
         cube = cfg.cube_biased_sampling
         self._shadow = []
         self._dir = []
         self._branch = []
         for _ in range(cfg.bounces):
-            self._shadow.append(
-                _rand_dir_from_uniforms(
-                    _uniform((cfg.shadow_samples, *shape)),
-                    _uniform((cfg.shadow_samples, *shape)),
-                    _uniform((cfg.shadow_samples, *shape)),
-                    cube,
+            if has_light:  # consumed only when the scene has a light
+                self._shadow.append(
+                    _rand_dir_from_uniforms(
+                        _uniform((cfg.shadow_samples, *shape)),
+                        _uniform((cfg.shadow_samples, *shape)),
+                        _uniform((cfg.shadow_samples, *shape)),
+                        cube,
+                    )
                 )
-            )
             self._dir.append(
                 _rand_dir_from_uniforms(
                     _uniform(shape), _uniform(shape), _uniform(shape), cube
@@ -386,7 +392,7 @@ def _fwd_kernel(
     scene = SceneView(scene_ref, obj_type, light_index)
     i, j = pl.program_id(0), pl.program_id(1)
     u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
-    draws = StreamingDraws((tile_h, tile_w), config)
+    draws = StreamingDraws((tile_h, tile_w), config, light_index >= 0)
     outs = tile_physics(scene, cam_ref, u, v, draws, config, (tile_h, tile_w))
     for ref, val in zip(out_refs, outs):
         ref[...] = val
@@ -420,7 +426,7 @@ def _bwd_kernel(
 
     # Regenerate the forward's exact random stream for this tile, BEFORE
     # tracing the differentiable closure (the PRNG is stateful).
-    draws = PrecomputedDraws((tile_h, tile_w), config)
+    draws = PrecomputedDraws((tile_h, tile_w), config, light_index >= 0)
 
     scene_arr = scene_ref[...]           # (N, 16) value
     cam_arr = cam_ref[...]               # (1, 16) value
@@ -483,13 +489,11 @@ def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta):
 
 
 def _run_bwd(scene_packed, cam_pack, seed_i32, cotangents, *, meta):
-    (obj_type, light_index, config, width, height, _th, _tw) = meta
+    (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
     n = len(obj_type)
-    hp, wp = _plane_shape(width, height, _th, _tw)
-    # cotangent planes are (hp, wp) from the fwd tiling; bwd grid must tile
-    # the same padded area — shrink tiles for small frames
-    tile_h = math.gcd(BWD_TILE_H, hp)
-    tile_w = math.gcd(BWD_TILE_W, wp)
+    hp, wp = _plane_shape(width, height, tile_h, tile_w)
+    # SAME tiling as the forward — the per-tile seeds and in-tile draw
+    # order define the streams the backward re-materializes.
     grid = (hp // tile_h, wp // tile_w)
 
     kernel = functools.partial(
@@ -521,21 +525,25 @@ def _run_bwd(scene_packed, cam_pack, seed_i32, cotangents, *, meta):
 def _make_core(meta):
     """custom_vjp core for one (topology, config, geometry) signature."""
 
+    # The seed rides through the differentiable signature as the BITCAST of
+    # its int32 value (a float32 cast would quantize seeds >= 2^24 and
+    # collapse distinct per-sample streams).
     @jax.custom_vjp
-    def core(scene_packed, cam_pack, seed_f32):
-        return _run_fwd(scene_packed, cam_pack, seed_f32.astype(jnp.int32), meta=meta)
+    def core(scene_packed, cam_pack, seed_bits):
+        seed = jax.lax.bitcast_convert_type(seed_bits, jnp.int32)
+        return _run_fwd(scene_packed, cam_pack, seed, meta=meta)
 
-    def core_fwd(scene_packed, cam_pack, seed_f32):
-        out = core(scene_packed, cam_pack, seed_f32)
-        return out, (scene_packed, cam_pack, seed_f32)
+    def core_fwd(scene_packed, cam_pack, seed_bits):
+        out = core(scene_packed, cam_pack, seed_bits)
+        return out, (scene_packed, cam_pack, seed_bits)
 
     def core_bwd(res, cotangents):
-        scene_packed, cam_pack, seed_f32 = res
+        scene_packed, cam_pack, seed_bits = res
+        seed = jax.lax.bitcast_convert_type(seed_bits, jnp.int32)
         g_scene, g_cam = _run_bwd(
-            scene_packed, cam_pack, seed_f32.astype(jnp.int32),
-            tuple(cotangents), meta=meta,
+            scene_packed, cam_pack, seed, tuple(cotangents), meta=meta
         )
-        return g_scene, g_cam, jnp.zeros_like(seed_f32)
+        return g_scene, g_cam, jnp.zeros_like(seed_bits)
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -582,16 +590,16 @@ def render_tiles_pallas(
         scene.obj_type, scene.light_index, config, width, height, tile_h, tile_w
     )
     cam_pack = _camera_pack(camera, width / height, config)
-    seed_f32 = jnp.asarray(seed, jnp.float32).reshape((1,))
+    seed_i32 = jnp.asarray(seed, jnp.int32).reshape((1,))
 
     if interpret:  # test path: fwd only, through the TPU interpreter
         outs = _run_fwd_interpret(
-            pack_scene(scene), cam_pack, seed_f32.astype(jnp.int32),
-            meta=meta, interpret=interpret,
+            pack_scene(scene), cam_pack, seed_i32, meta=meta, interpret=interpret
         )
     else:
         core = _make_core(meta)
-        outs = core(pack_scene(scene), cam_pack, seed_f32)
+        seed_bits = jax.lax.bitcast_convert_type(seed_i32, jnp.float32)
+        outs = core(pack_scene(scene), cam_pack, seed_bits)
 
     names = ["r", "g", "b", "sx", "sy", "sz", "cr", "cg", "cb", "miss"]
     return dict(zip(names, outs))

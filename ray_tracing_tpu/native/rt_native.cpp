@@ -237,7 +237,11 @@ int rt_parse_scene(const char* src, long len, float* params, int* types,
         }
 
         if (count >= max_objects) {
-            dropped++;  // reference warns and drops (src/scene.c:602-605)
+            // reference warns and drops (src/scene.c:602-605)
+            dropped++;
+            fprintf(stderr,
+                    "Warning: Ignoring object because the scene is too big (line %d)\n",
+                    c.line);
         } else {
             memcpy(params + static_cast<size_t>(count) * NCOLS, row, sizeof row);
             types[count] = type;
@@ -371,19 +375,39 @@ void push_event(int ev) {
 }
 
 void reader_main() {
-    char buf[8];
+    // Escape sequences can split across reads (arrow-key autorepeat through
+    // fixed-size reads): keep a carry buffer so a trailing partial
+    // "\x1b"/"\x1b[" waits for its continuation instead of being misread as
+    // a bare ESC (= quit).
+    char buf[72];
+    size_t pending = 0;
+    int esc_age = 0;  // idle reads a lone pending ESC has waited
     while (!reader_stop.load(std::memory_order_relaxed)) {
-        ssize_t k = read(reader_fd, buf, sizeof buf);
+        ssize_t k = read(reader_fd, buf + pending, sizeof buf - pending);
         if (k <= 0) {
             if (k == 0) { push_event(EVENT_CLOSE); break; }
             if (errno == EAGAIN || errno == EWOULDBLOCK) {
+                if (pending == 1 && buf[0] == '\x1b' && ++esc_age >= 4) {
+                    push_event(EVENT_PRESS_ESC);  // a real lone ESC press
+                    pending = 0;
+                    esc_age = 0;
+                }
                 usleep(5000);
                 continue;
             }
             break;
         }
+        esc_age = 0;
+        k += static_cast<ssize_t>(pending);
+        pending = 0;
         for (ssize_t i = 0; i < k; i++) {
             char ch = buf[i];
+            if (ch == '\x1b' && (i + 1 >= k || (buf[i + 1] == '[' && i + 2 >= k))) {
+                // partial sequence at buffer end: carry to the next read
+                pending = static_cast<size_t>(k - i);
+                memmove(buf, buf + i, pending);
+                break;
+            }
             if (ch == '\x1b' && i + 2 < k && buf[i + 1] == '[') {
                 switch (buf[i + 2]) {
                     case 'A': push_event(EVENT_LOOK_UP); break;

@@ -54,6 +54,13 @@ _PROPERTIES = {
 }
 
 
+def _is_digit(c: str) -> bool:
+    """ASCII-only digit (src/utils.h:35) — str.isdigit accepts Unicode
+    digit-likes the reference rejects (and float() may then raise an
+    uncaught ValueError)."""
+    return "0" <= c <= "9"
+
+
 class SceneParseError(ValueError):
     def __init__(self, message: str, line: int):
         super().__init__(f"{message} (line {line})")
@@ -105,21 +112,21 @@ class _Scanner:
         if self.peek() == "-":
             sign = -1.0
             self.i += 1
-            if self.eof() or not src[self.i].isdigit():
+            if self.eof() or not _is_digit(src[self.i]):
                 raise SceneParseError("Error: Missing number after minus sign", self.line)
-        elif self.eof() or not src[self.i].isdigit():
+        elif self.eof() or not _is_digit(src[self.i]):
             raise SceneParseError(f"Error: Missing number {what}", self.line)
 
         start = self.i
         i = self.i
-        while i < n and src[i].isdigit():
+        while i < n and _is_digit(src[i]):
             i += 1
         if i < n and src[i] == ".":
             i += 1
-            if i == n or not src[i].isdigit():
+            if i == n or not _is_digit(src[i]):
                 self.i = i
                 raise SceneParseError("Error: Missing decimal part after dot", self.line)
-            while i < n and src[i].isdigit():
+            while i < n and _is_digit(src[i]):
                 i += 1
         self.i = i
         return sign * float(src[start:i])

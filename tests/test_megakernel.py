@@ -152,6 +152,59 @@ def test_pallas_vjp_matches_xla_autodiff():
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), rtol=2e-3, atol=5e-6)
 
 
+@pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
+def test_bwd_primal_streams_bit_identical():
+    """The custom-VJP contract: the backward regenerates the forward's EXACT
+    random streams (same tiling, same seed hash, same draw order incl. the
+    has_light shadow-draw skip). Verified bit-for-bit: a kernel running
+    PrecomputedDraws+tile_physics must equal the streaming forward kernel."""
+    if not on_tpu():
+        pytest.skip("needs TPU")
+    import functools
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ray_tracing_tpu.kernels import megakernel as mk
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    cfg = RenderConfig()  # full physics; scene_0 has a light (NEE draws)
+    cam = Camera.default()
+    s = parse_scene_file("/root/reference/scene_0.txt")
+    W, H = 512, 256
+    th, tw = mk.DEFAULT_TILE_H, mk.DEFAULT_TILE_W
+    meta = (s.obj_type, s.light_index, cfg, W, H, th, tw)
+
+    out_fwd = mk._run_fwd(
+        mk.pack_scene(s), mk._camera_pack(cam, W / H, cfg),
+        jnp.array([3], jnp.int32), meta=meta,
+    )
+
+    def primal_kernel(scene_ref, cam_ref, seed_ref, *out_refs):
+        mk._seed_tile(seed_ref[0])
+        i, j = pl.program_id(0), pl.program_id(1)
+        u, v = mk._tile_uv(i, j, th, tw, W, H)
+        draws = mk.PrecomputedDraws((th, tw), cfg, s.light_index >= 0)
+        view = mk.SceneView(scene_ref, s.obj_type, s.light_index)
+        outs = mk.tile_physics(view, cam_ref, u, v, draws, cfg, (th, tw))
+        for ref, val in zip(out_refs, outs):
+            ref[...] = val
+
+    hp, wp = mk._plane_shape(W, H, th, tw)
+    block = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    out_pre = pl.pallas_call(
+        primal_kernel,
+        grid=(hp // th, wp // tw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=[block] * 10,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 10,
+    )(mk.pack_scene(s), mk._camera_pack(cam, W / H, cfg), jnp.array([3], jnp.int32))
+
+    for a, b in zip(out_fwd, out_pre):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.skipif(not SLOW, reason="TPU-interpreter compile is minutes-slow; set RTT_SLOW=1")
 def test_megakernel_interpret_matches_xla():
     from jax.experimental.pallas import tpu as pltpu
