@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ray_tracing_tpu.config import RenderConfig, DEFAULT_CONFIG
 from ray_tracing_tpu.ops.cubemap import CubemapData, constant_sky, sample_cubemap
-from ray_tracing_tpu.ops.intersect import trace, trace_shadow
+from ray_tracing_tpu.ops.intersect import UNROLL_LIMIT, trace, trace_shadow
 from ray_tracing_tpu.ops.vec import Vec3, fresnel_schlick
 from ray_tracing_tpu.render.camera import Camera, screen_height
 from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene
@@ -64,26 +64,18 @@ SCENE_COLS = 16
 
 
 def pack_scene(scene: Scene):
-    emission = scene.emission_color * scene.emission_power[:, None]
-    pad = jnp.zeros((scene.num_objects, 1), jnp.float32)
-    return jnp.concatenate(
-        [
-            scene.p0,
-            scene.p1,
-            scene.albedo,
-            scene.roughness[:, None],
-            scene.reflectance[:, None],
-            scene.metallic[:, None],
-            emission,
-            pad,
-        ],
-        axis=1,
-    ).astype(jnp.float32)
+    """Same row layout as Scene.packed_rows (col 15 = type tag, which the
+    in-kernel SceneView ignores — its topology is static)."""
+    return scene.packed_rows()
 
 
 class SceneView:
     """Duck-typed Scene over a packed (N,16) ref OR array — same accessor
-    methods trace()/trace_shadow() use, static topology carried alongside."""
+    methods trace()/trace_shadow() use, static topology carried alongside.
+    in_kernel=True selects the Mosaic-compatible large-scene loop in
+    ops/intersect._trace_scan (fori + dynamic SMEM scalar reads)."""
+
+    in_kernel = True
 
     def __init__(self, ref, obj_type, light_index):
         self._r = ref
@@ -140,6 +132,11 @@ class SceneView:
             self._r[i, 1] + 0.5 * self._r[i, 4],
             self._r[i, 2] + 0.5 * self._r[i, 5],
         )
+
+    def packed_rows(self):
+        """For the large-scene trace loop (ops/intersect.py): the ref/array
+        itself — indexed per scalar, never materialized."""
+        return self._r
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +461,15 @@ def _plane_shape(width, height, tile_h, tile_w):
     return hp, wp
 
 
+
+def _scene_spec(n: int):
+    """Scene table placement: SMEM in every case — the unrolled loop reads
+    static scalars, the large-scene fori loop reads dynamically-indexed
+    scalars; both are SMEM-native access patterns."""
+    del n
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
 def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta):
     (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
@@ -479,7 +485,7 @@ def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _scene_spec(len(obj_type)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -491,6 +497,13 @@ def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta):
 def _run_bwd(scene_packed, cam_pack, seed_i32, cotangents, *, meta):
     (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
     n = len(obj_type)
+    if n > UNROLL_LIMIT:
+        raise NotImplementedError(
+            f"Pallas backward supports up to {UNROLL_LIMIT} objects (the "
+            "large-scene trace is a fori_loop, which reverse-mode cannot "
+            "cross); differentiate render_image (the XLA integrator) for "
+            "larger scenes."
+        )
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
     # SAME tiling as the forward — the per-tile seeds and in-tile draw
     # order define the streams the backward re-materializes.
@@ -620,7 +633,7 @@ def _run_fwd_interpret(scene_packed, cam_pack, seed_i32, *, meta, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _scene_spec(len(obj_type)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracing_tpu.ops.vec import Vec3
-from ray_tracing_tpu.scene.types import Scene
+from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene
 
 BIG = 3.4e38  # stand-in for FLT_MAX (src/scene.c:160)
 HIT_THRESHOLD = 1e37  # anything below this is a real hit
@@ -113,8 +113,16 @@ def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3):
     return jnp.where(valid, near, BIG), normal
 
 
+# Above this object count the unrolled specialized loop is replaced by a
+# lax.scan over a packed object array: compile time stays O(1) in scene
+# size (the reference supports up to MAX_OBJECTS=1024, src/scene.h:3).
+UNROLL_LIMIT = 48
+
+
 def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
     """Closest hit with winner material, batched over ro/rd's shape."""
+    if scene.num_objects > UNROLL_LIMIT:
+        return _trace_scan(scene, ro, rd, want_material=True)
     d = rd.normalize()  # trace_ray normalizes first (src/scene.c:158)
     a = d.dot(d)
     shape = jnp.broadcast_shapes(ro.shape, d.shape)
@@ -172,9 +180,105 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
     )
 
 
+def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
+    """Large-scene closest hit: lax.scan over packed object rows. The body
+    computes BOTH primitive tests and selects by the (traced) type tag —
+    2x the arithmetic of the specialized loop per object, but compile time
+    and code size are independent of the object count."""
+    d = rd.normalize()
+    a = d.dot(d)
+    shape = jnp.broadcast_shapes(ro.shape, d.shape)
+    ro = ro.broadcast_to(shape)
+
+    rows = scene.packed_rows()  # (N, 16) array or kernel ref; col 15 = type
+    in_kernel = getattr(scene, "in_kernel", False)
+
+    def update(carry, get, i):
+        """One object's running-min update; `get(c)` reads the row scalar."""
+        (t_best, obj_best, sphere_win, center_best, cube_n_best,
+         albedo_best, rough_best, refl_best, metal_best, emiss_best) = carry
+
+        is_sph = get(15) == float(OBJ_SPHERE)
+        center = Vec3(get(0), get(1), get(2))
+        t_s = intersect_sphere(ro, d, a, center, get(3))
+        hi = Vec3(get(0) + get(3), get(1) + get(4), get(2) + get(5))
+        t_c, n_c = intersect_cube(ro, d, center, hi)
+        t_i = jnp.where(is_sph, t_s, t_c)
+
+        win = t_i < t_best
+        t_best = jnp.where(win, t_i, t_best)
+        obj_best = jnp.where(win, i, obj_best)
+        # float 0/1 mask: Mosaic cannot carry bool arrays through fori_loop
+        sphere_win = jnp.where(win, jnp.where(is_sph, 1.0, 0.0), sphere_win)
+        center_best = Vec3.where(win, center.broadcast_to(shape), center_best)
+        cube_n_best = Vec3.where(win & ~is_sph, n_c, cube_n_best)
+        if want_material:
+            albedo_best = Vec3.where(
+                win, Vec3(get(6), get(7), get(8)).broadcast_to(shape), albedo_best
+            )
+            rough_best = jnp.where(win, get(9), rough_best)
+            refl_best = jnp.where(win, get(10), refl_best)
+            metal_best = jnp.where(win, get(11), metal_best)
+        emiss_best = Vec3.where(
+            win, Vec3(get(12), get(13), get(14)).broadcast_to(shape), emiss_best
+        )
+        return (t_best, obj_best, sphere_win, center_best, cube_n_best,
+                albedo_best, rough_best, refl_best, metal_best, emiss_best)
+
+    zeros = jnp.zeros(shape, d.dtype)
+    init = (
+        jnp.full(shape, BIG, d.dtype),
+        jnp.full(shape, -1, jnp.int32),
+        zeros,  # sphere_win as float 0/1 (bool carries don't lower)
+        Vec3.zeros(shape),
+        Vec3.zeros(shape),
+        Vec3.zeros(shape),
+        zeros,
+        zeros,
+        zeros,
+        Vec3.zeros(shape),
+    )
+
+    if in_kernel:
+        # Pallas: fori_loop with dynamic SMEM scalar reads (Mosaic can't
+        # lower scans with extensive inputs or dynamic_slice on values).
+        # Forward-only — reverse-mode can't cross a while_loop; large-scene
+        # training uses the XLA integrator.
+        final = jax.lax.fori_loop(
+            0, scene.num_objects,
+            lambda i, c: update(c, lambda col: rows[i, col], i),
+            init,
+        )
+    else:
+        # XLA: scan over packed rows — differentiable w.r.t. scene params.
+        idx = jnp.arange(scene.num_objects, dtype=jnp.int32)
+        final, _ = jax.lax.scan(
+            lambda c, row_i: (update(c, lambda col: row_i[0][col], row_i[1]), None),
+            init,
+            (rows, idx),
+        )
+    (t_best, obj_best, sphere_win, center_best, cube_n_best,
+     albedo_best, rough_best, refl_best, metal_best, emiss_best) = final
+
+    hit = t_best < HIT_THRESHOLD
+    t_pt = jnp.where(hit, t_best, 0.0)
+    point = ro + d * t_pt
+    sphere_n = (point - center_best).normalize()
+    normal = Vec3.where(sphere_win > 0.5, sphere_n, cube_n_best)
+
+    return Hit(
+        t=t_best, hit=hit, obj=obj_best, point=point, normal=normal,
+        albedo=albedo_best, roughness=rough_best, reflectance=refl_best,
+        metallic=metal_best, emission=emiss_best,
+    )
+
+
 def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):
     """Light-sampling trace: only (hit, emission-of-nearest) are needed
     (src/main.c:200-204). Tracks 5 fields instead of 14."""
+    if scene.num_objects > UNROLL_LIMIT:
+        h = _trace_scan(scene, ro, rd, want_material=False)
+        return h.hit, h.emission
     d = rd.normalize()
     a = d.dot(d)
     shape = jnp.broadcast_shapes(ro.shape, d.shape)

@@ -143,6 +143,26 @@ class Scene:
             self.p0[i, 2] + 0.5 * self.p1[i, 2],
         )
 
+    def packed_rows(self) -> jax.Array:
+        """(N, 16) packed parameter rows for the scan-based large-scene
+        trace (ops/intersect.py): p0 | p1 | albedo | roughness | reflectance
+        | metallic | emission_color*power | type tag."""
+        emission = self.emission_color * self.emission_power[:, None]
+        tag = jnp.asarray(self.obj_type, jnp.float32)[:, None]
+        return jnp.concatenate(
+            [
+                self.p0,
+                self.p1,
+                self.albedo,
+                self.roughness[:, None],
+                self.reflectance[:, None],
+                self.metallic[:, None],
+                emission,
+                tag,
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+
     # -- construction ------------------------------------------------------
 
     @staticmethod

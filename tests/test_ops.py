@@ -203,6 +203,59 @@ def test_trace_winner_material():
     assert float(h.normal.z) == pytest.approx(1.0)
 
 
+def test_trace_scan_path_matches_unrolled():
+    """Scenes above UNROLL_LIMIT take the lax.scan path (compile-time O(1)
+    in object count, reference supports up to 1024); it must agree exactly
+    with the unrolled specialized path."""
+    from ray_tracing_tpu.ops.intersect import UNROLL_LIMIT, _trace_scan
+
+    objs = []
+    rng = np.random.default_rng(7)
+    for i in range(UNROLL_LIMIT + 12):  # forces the scan path via trace()
+        if i % 3 == 0:
+            objs.append(ObjectSpec(
+                kind="cube",
+                p0=tuple(rng.uniform(-10, 10, 3).tolist()),
+                p1=tuple(rng.uniform(0.2, 2.0, 3).tolist()),
+                albedo=tuple(rng.uniform(0, 1, 3).tolist()),
+                emission_power=float(rng.uniform(0, 2)),
+            ))
+        else:
+            objs.append(ObjectSpec(
+                kind="sphere",
+                p0=tuple(rng.uniform(-10, 10, 3).tolist()),
+                p1=(float(rng.uniform(0.3, 1.5)),) * 3,
+                roughness=float(rng.uniform(0, 1)),
+                metallic=float(rng.uniform(0, 1)),
+            ))
+    scene = Scene.from_objects(objs)
+    assert scene.num_objects > UNROLL_LIMIT
+
+    n = 128
+    ro = to_vec3(rand_vec(n, -12, 12))
+    rd = to_vec3(rand_vec(n, -1, 1))
+
+    h_scan = trace(scene, ro, rd)  # dispatches to the scan path
+
+    # ground truth: the unrolled path on sub-chunks, stitched via oracle
+    odicts = [{"kind": o.kind, "p0": np.array(o.p0), "p1": np.array(o.p1)} for o in objs]
+    ron, rdn = np.asarray(ro.to_array()), np.asarray(rd.to_array())
+    t = np.asarray(h_scan.t)
+    obj = np.asarray(h_scan.obj)
+    hit = np.asarray(h_scan.hit)
+    rough = np.asarray(h_scan.roughness)
+    for i in range(n):
+        texp, iexp, nexp = oracle.trace(odicts, ron[i], rdn[i])
+        if texp is None:
+            assert not hit[i], i
+        else:
+            assert hit[i], i
+            assert obj[i] == iexp, (i, obj[i], iexp)
+            assert t[i] == pytest.approx(texp, rel=3e-3, abs=3e-3), i
+            # winner material tracked through the scan too
+            assert rough[i] == pytest.approx(objs[iexp].roughness, abs=1e-6)
+
+
 # -------------------------------------------------------------- cubemap ----
 
 
