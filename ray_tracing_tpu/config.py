@@ -50,6 +50,12 @@ class RenderConfig:
     # Sampling
     cube_biased_sampling: bool = True
 
+    # Sub-pixel antialiasing (no reference analogue: the reference fires
+    # every sample through the exact pixel center, src/main.c:293-296, so
+    # its converged edges stay aliased). When True, each sample jitters
+    # u/v uniformly within the pixel footprint — converges to box-filter AA.
+    pixel_jitter: bool = False
+
     # Differentiable-mode switches (no reference analogue). env_filter
     # "bilinear" makes sky radiance smooth in the ray direction so geometry/
     # camera/roughness gradients are non-degenerate; "nearest" is bit-

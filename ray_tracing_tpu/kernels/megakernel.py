@@ -389,6 +389,10 @@ def _fwd_kernel(
     scene = SceneView(scene_ref, obj_type, light_index)
     i, j = pl.program_id(0), pl.program_id(1)
     u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
+    if config.pixel_jitter:
+        # stream contract: jitter uniforms are the FIRST two draws
+        u = u + (_uniform((tile_h, tile_w)) - 0.5) / (width - 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / (height - 1)
     draws = StreamingDraws((tile_h, tile_w), config, light_index >= 0)
     outs = tile_physics(scene, cam_ref, u, v, draws, config, (tile_h, tile_w))
     for ref, val in zip(out_refs, outs):
@@ -420,6 +424,10 @@ def _bwd_kernel(
     _seed_tile(seed_ref[0])
     i, j = pl.program_id(0), pl.program_id(1)
     u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
+    if config.pixel_jitter:
+        # same stream position as the forward's jitter draws
+        u = u + (_uniform((tile_h, tile_w)) - 0.5) / (width - 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / (height - 1)
 
     # Regenerate the forward's exact random stream for this tile, BEFORE
     # tracing the differentiable closure (the PRNG is stateful).

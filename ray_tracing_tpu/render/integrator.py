@@ -235,7 +235,14 @@ def render_image(
     aspect = width / height
 
     def one_sample(k) -> Vec3:
-        return render_pixels(scene, camera, uu, vv, aspect, k, config, cubemap)
+        u, v = uu, vv
+        if config.pixel_jitter:
+            # box-filter AA: uniform jitter within the pixel footprint
+            kj, k = jax.random.split(k)
+            j = jax.random.uniform(kj, (2, height, width)) - 0.5
+            u = u + j[0] / (width - 1)
+            v = v + j[1] / (height - 1)
+        return render_pixels(scene, camera, u, v, aspect, k, config, cubemap)
 
     if spp == 1:
         return one_sample(key).to_array()

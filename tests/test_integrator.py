@@ -134,6 +134,30 @@ def test_diffuse_albedo_attenuation():
     assert (img[..., 2][floor] <= img[..., 0][floor] + 1e-6).mean() > 0.99
 
 
+def test_pixel_jitter_antialiases():
+    # a hard silhouette against a bright sky: jittered sampling produces
+    # intermediate edge pixels (box-filter AA); means stay consistent
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.2,) * 3,
+                   albedo=(0.0, 0.0, 0.0), roughness=1.0, reflectance=0.0),
+    ])
+    sky = constant_sky((1.0, 1.0, 1.0))
+    cfg = RenderConfig(bounces=1, shadow_samples=1)
+    hard = np.asarray(render_image(
+        scene, Camera.default(), 32, 24, jax.random.key(0), spp=32,
+        config=cfg, cubemap=sky))
+    aa = np.asarray(render_image(
+        scene, Camera.default(), 32, 24, jax.random.key(0), spp=32,
+        config=cfg.replace(pixel_jitter=True), cubemap=sky))
+    assert abs(hard.mean() - aa.mean()) < 0.02
+    # pixel-center sampling yields (near-)binary pixels; jitter fills the
+    # edge band with fractional coverage values
+    def mid_band(x):
+        return ((x[..., 0] > 0.1) & (x[..., 0] < 0.9)).mean()
+
+    assert mid_band(aa) > mid_band(hard) + 0.01
+
+
 def test_fov_fix_mode_differs():
     scene = Scene.from_objects([ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0))])
     sky = constant_sky((0.1, 0.4, 0.9))
