@@ -52,10 +52,26 @@ LANE = 128
 # ONE tile shape for forward AND backward: the per-tile PRNG seed and the
 # in-tile draw order define the random streams, so the backward can only
 # re-materialize the forward's exact paths if it tiles the image the same
-# way. 16x256 is the largest shape whose backward (vjp residuals in VMEM)
-# fits the scoped-VMEM limit; forward cost vs its solo-best 8x512 is ~5%.
+# way. The shape scales down with scene complexity because the backward's
+# vjp residuals (~ objects x bounces x tile pixels) must fit scoped VMEM
+# (~16MB): scene_2 (3 objects, no NEE) fits 16x256; scene_0 (9 objects +
+# 3 shadow rays) needs 8x256. Measured, not guessed — see CLAUDE.md.
 DEFAULT_TILE_H = 16
 DEFAULT_TILE_W = 256
+
+
+def default_tiles(scene: Scene, config: RenderConfig):
+    """Complexity-scaled tile shape shared by fwd and bwd kernels."""
+    if scene.num_objects > 48:  # UNROLL_LIMIT: fori path, small residuals
+        return DEFAULT_TILE_H, DEFAULT_TILE_W
+    eff = scene.num_objects * (
+        1 + (config.shadow_samples if scene.has_light else 0)
+    )
+    if eff <= 12:
+        return 16, 256
+    if eff <= 40:
+        return 8, 256
+    return 8, 128
 
 # Packed scene layout (one row per object), shared with native/rt_native.cpp:
 # cols 0-2 p0 | 3-5 p1 | 6-8 albedo | 9 roughness | 10 reflectance |
@@ -600,13 +616,17 @@ def render_tiles_pallas(
     height: int,
     seed,
     config: RenderConfig = DEFAULT_CONFIG,
-    tile_h: int = DEFAULT_TILE_H,
-    tile_w: int = DEFAULT_TILE_W,
+    tile_h: int | None = None,
+    tile_w: int | None = None,
     interpret: bool = False,
 ):
     """One sample per pixel over the padded (HP, WP) grid. Returns a dict of
     (HP, WP) planes. Differentiable w.r.t. scene and camera (custom VJP:
     Pallas forward + Pallas backward with re-seeded identical streams)."""
+    if tile_h is None or tile_w is None:
+        dth, dtw = default_tiles(scene, config)
+        tile_h = tile_h or dth
+        tile_w = tile_w or dtw
     meta = (
         scene.obj_type, scene.light_index, config, width, height, tile_h, tile_w
     )
@@ -660,13 +680,17 @@ def render_image_pallas(
     spp: int = 1,
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
-    tile_h: int = DEFAULT_TILE_H,
-    tile_w: int = DEFAULT_TILE_W,
+    tile_h: int | None = None,
+    tile_w: int | None = None,
     interpret: bool = False,
 ):
     """Full render via the megakernel + deferred XLA sky gather. Drop-in for
     render_image (same statistics, different RNG streams) and differentiable
     end-to-end (fwd+bwd both Pallas)."""
+    if tile_h is None or tile_w is None:
+        dth, dtw = default_tiles(scene, config)
+        tile_h = tile_h or dth
+        tile_w = tile_w or dtw
     if cubemap is None:
         cubemap = constant_sky()
     seed = jnp.asarray(seed, jnp.int32)
