@@ -24,14 +24,16 @@ Layer map (mirrors SURVEY.md §1, redesigned functional-first):
 __version__ = "0.1.0"
 
 from ray_tracing_tpu.config import RenderConfig
-from ray_tracing_tpu.scene.types import Scene, OBJ_NONE, OBJ_SPHERE, OBJ_CUBE
+from ray_tracing_tpu.scene.types import Scene, ObjectSpec, OBJ_NONE, OBJ_SPHERE, OBJ_CUBE
 from ray_tracing_tpu.scene.parser import parse_scene_file, parse_scene_string, SceneParseError
 from ray_tracing_tpu.render.camera import Camera
 from ray_tracing_tpu.render.integrator import render_image, render_pixels
+from ray_tracing_tpu.render.film import Film, render_pass, render_progressive
 
 __all__ = [
     "RenderConfig",
     "Scene",
+    "ObjectSpec",
     "OBJ_NONE",
     "OBJ_SPHERE",
     "OBJ_CUBE",
@@ -41,4 +43,14 @@ __all__ = [
     "Camera",
     "render_image",
     "render_pixels",
+    "Film",
+    "render_pass",
+    "render_progressive",
 ]
+
+
+def render_image_pallas(*args, **kwargs):
+    """Lazy re-export of the TPU megakernel renderer (kernels/megakernel)."""
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas as fn
+
+    return fn(*args, **kwargs)
