@@ -54,6 +54,31 @@ def test_soft_silhouette_recovers_position():
     assert e1 < e0 * 0.5, (e0, e1)
 
 
+def test_soft_silhouette_recovers_radius():
+    # BASELINE config 4: "recover sphere positions/RADII/colors". Radius
+    # changes both shading (interior) and silhouette (soft alpha) smoothly.
+    sky = gradient_sky(16)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    cfg = RenderConfig(bounces=2, shadow_samples=1, env_filter="bilinear",
+                       soft_silhouette_temp=0.08)
+    true_scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.2,) * 3,
+                   albedo=(0.9, 0.1, 0.1), roughness=1.0, reflectance=0.0),
+    ])
+    cam = Camera.default()
+    target = render_image_sharded(true_scene, cam, 48, 32, jax.random.key(2),
+                                  mesh, spp=4, config=cfg, cubemap=sky)
+    start = dataclasses.replace(true_scene, p1=true_scene.p1 * 0.75)  # r=0.9
+    rec, _, losses = fit_multiscale(
+        start, cam, target, mesh, scene_fields=("p1",),
+        schedule=((2, 20), (1, 25)), lr=0.02, spp=2, config=cfg, cubemap=sky,
+    )
+    e0 = abs(float(start.p1[0, 0]) - 1.2)
+    e1 = abs(float(rec.p1[0, 0]) - 1.2)
+    assert losses[-1] < losses[0] * 0.6
+    assert e1 < e0 * 0.5, (e0, e1)
+
+
 def test_soft_silhouette_render_close_to_hard():
     # away from edges the soft composite must agree with the hard render
     from ray_tracing_tpu.render.integrator import render_image

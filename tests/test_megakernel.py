@@ -153,6 +153,31 @@ def test_pallas_vjp_matches_xla_autodiff():
 
 
 @pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
+def test_megakernel_matches_goldens():
+    """The megakernel render of the reference scenes must agree with the
+    committed converged goldens (different RNG streams -> statistical)."""
+    if not on_tpu():
+        pytest.skip("needs TPU")
+    import pathlib
+
+    from ray_tracing_tpu.io.image import load_cubemap
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    cm = load_cubemap()
+    cam = Camera.default()
+    gdir = pathlib.Path(__file__).parent / "goldens"
+    for name in ("scene_0", "scene_1", "scene_2"):
+        golden = np.load(gdir / f"{name}_96x72.npy")
+        scene = parse_scene_file(f"/root/reference/{name}.txt")
+        img = np.asarray(
+            render_image_pallas(scene, cam, 96, 72, 11, spp=24, cubemap=cm)
+        )
+        assert np.abs(img - golden).mean() < 0.03, name
+        assert abs(img.mean() - golden.mean()) < 0.01, name
+
+
+@pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
 def test_bwd_primal_streams_bit_identical():
     """The custom-VJP contract: the backward regenerates the forward's EXACT
     random streams (same tiling, same seed hash, same draw order incl. the
