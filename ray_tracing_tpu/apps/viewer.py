@@ -71,15 +71,30 @@ def poll_events(timeout: float = 0.0):
     i = 0
     while i < len(ch):
         c = ch[i]
-        if c == "\x1b" and ch[i:] in ("\x1b", "\x1b["):
-            _pending = ch[i:]  # partial sequence: wait for the rest
-            break
-        if c == "\x1b" and ch[i : i + 3] in _LOOK_KEYS:
-            events.append((EV_LOOK, _LOOK_KEYS[ch[i : i + 3]]))
-            i += 3
-            continue
-        if c == "\x1b" and i + 1 < len(ch) and ch[i + 1] == "[":
-            i += 3  # unknown CSI sequence: swallow it
+        if c == "\x1b":
+            nxt = ch[i + 1] if i + 1 < len(ch) else ""
+            if nxt == "":
+                _pending = ch[i:]  # lone ESC at buffer end: wait/age
+                break
+            if nxt == "[":
+                # CSI: parameters/intermediates, then one final byte @..~
+                j = i + 2
+                while j < len(ch) and not ("@" <= ch[j] <= "~"):
+                    j += 1
+                if j >= len(ch):
+                    _pending = ch[i:]  # incomplete CSI: wait for the rest
+                    break
+                seq = ch[i : j + 1]
+                if seq in _LOOK_KEYS:
+                    events.append((EV_LOOK, _LOOK_KEYS[seq]))
+                i = j + 1  # unknown CSI (mouse, modifiers, F5+): swallow
+                continue
+            if nxt == "O":
+                i += 3  # SS3 (F1-F4 etc.): swallow the 3-byte sequence
+                continue
+            # ESC followed by a plain key: treat as the ESC key (quit)
+            events.append((EV_QUIT, None))
+            i += 1
             continue
         lc = c.lower()
         if lc == "q" or c == "\x1b":
@@ -100,19 +115,30 @@ def poll_events(timeout: float = 0.0):
     return events
 
 
+_BYTE_STRS = [str(v) for v in range(256)]
+
+
 def frame_to_ansi(img: np.ndarray) -> str:
-    """(H, W, 3) float -> ANSI 24-bit half-block string (2 rows per cell)."""
+    """(H, W, 3) float -> ANSI 24-bit half-block string (2 rows per cell).
+
+    Vectorized-ish assembly: one list comprehension over cells using
+    precomputed byte strings (the naive per-cell f-string version dominated
+    interactive frame time at viewer sizes)."""
     h = img.shape[0] - (img.shape[0] % 2)
     u8 = np.clip(img[:h] * 255.0, 0, 255).astype(np.uint8)
     top, bot = u8[0::2], u8[1::2]
-    lines = []
-    for r in range(top.shape[0]):
-        row = []
-        for c in range(top.shape[1]):
-            tr, tg, tb = top[r, c]
-            br, bg, bb = bot[r, c]
-            row.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
-        lines.append("".join(row) + "\x1b[0m")
+    rows, cols = top.shape[0], top.shape[1]
+    t = top.reshape(rows * cols, 3)
+    b = bot.reshape(rows * cols, 3)
+    s = _BYTE_STRS
+    cells = [
+        "\x1b[38;2;" + s[tr] + ";" + s[tg] + ";" + s[tb]
+        + "m\x1b[48;2;" + s[br] + ";" + s[bg] + ";" + s[bb] + "m▀"
+        for (tr, tg, tb), (br, bg, bb) in zip(t.tolist(), b.tolist())
+    ]
+    lines = [
+        "".join(cells[r * cols : (r + 1) * cols]) + "\x1b[0m" for r in range(rows)
+    ]
     return "\n".join(lines)
 
 

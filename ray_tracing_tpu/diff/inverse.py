@@ -129,6 +129,15 @@ def fit(
     height = height or target.shape[0]
     width = width or target.shape[1]
 
+    dead = {"yaw", "pitch"} & set(camera_fields)
+    if dead:
+        # rendering consumes only pos/front/up; yaw/pitch are interactive-
+        # control state and would receive identically-zero gradients
+        raise ValueError(
+            f"camera_fields {sorted(dead)} get zero gradients — optimize "
+            "'pos'/'front' instead (yaw/pitch only feed the viewer's rotate())"
+        )
+
     params = {
         "scene": extract_params(base_scene, scene_fields),
         "camera": {f: getattr(camera, f) for f in camera_fields},
@@ -143,6 +152,17 @@ def fit(
 
         state = ckpt.restore_checkpoint(checkpoint_dir)
         if state is not None:
+            raw = state.get("fields", [])
+            if isinstance(raw, dict):  # orbax may restore lists as dicts
+                raw = [raw[k] for k in sorted(raw, key=int)]
+            saved_fields = [str(x) for x in raw]
+            want_fields = list(scene_fields) + ["cam:" + f for f in camera_fields]
+            if saved_fields and saved_fields != want_fields:
+                raise ValueError(
+                    f"checkpoint in {checkpoint_dir} was written for fields "
+                    f"{saved_fields}, not {want_fields} — leaves would be "
+                    "silently mis-assigned; use a fresh checkpoint_dir"
+                )
             # Checkpoints store flat leaves; rebuild against the LIVE tree
             # structures (optax NamedTuples don't survive serialization).
             def leaf_list(x):
@@ -184,6 +204,8 @@ def fit(
                     "opt_leaves": list(jax.tree_util.tree_leaves(opt_state)),
                     "step": i + 1,
                     "losses": jnp.asarray(losses),
+                    "fields": list(scene_fields)
+                    + ["cam:" + f for f in camera_fields],
                 },
                 i + 1,
             )

@@ -62,7 +62,7 @@ DEFAULT_TILE_W = 256
 
 def default_tiles(scene: Scene, config: RenderConfig):
     """Complexity-scaled tile shape shared by fwd and bwd kernels."""
-    if scene.num_objects > 48:  # UNROLL_LIMIT: fori path, small residuals
+    if scene.num_objects > UNROLL_LIMIT:  # fori path: small residuals
         return DEFAULT_TILE_H, DEFAULT_TILE_W
     eff = scene.num_objects * (
         1 + (config.shadow_samples if scene.has_light else 0)
@@ -73,9 +73,11 @@ def default_tiles(scene: Scene, config: RenderConfig):
         return 8, 256
     return 8, 128
 
-# Packed scene layout (one row per object), shared with native/rt_native.cpp:
+# Packed scene layout (one row per object) — Scene.packed_rows():
 # cols 0-2 p0 | 3-5 p1 | 6-8 albedo | 9 roughness | 10 reflectance |
-# 11 metallic | 12-14 emission_color * emission_power | 15 pad
+# 11 metallic | 12-14 emission_color * emission_power | 15 type tag (f32).
+# NOTE: native/rt_native.cpp's parser uses a DIFFERENT layout (raw emission
+# color at 12-14, emission_power at 15) — scene/native.py converts.
 SCENE_COLS = 16
 
 
@@ -369,9 +371,10 @@ def _tile_uv(i, j, tile_h, tile_w, width, height):
         jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
         + i.astype(jnp.float32) * tile_h
     )
-    # pixel -> screen coords with the reference flips (src/main.c:293-296)
-    u = 1.0 - xs / (width - 1)
-    v = 1.0 - ys / (height - 1)
+    # pixel -> screen coords with the reference flips (src/main.c:293-296);
+    # max(dim-1, 1) guards 1-pixel-wide renders (film.py lowres pyramid)
+    u = 1.0 - xs / max(width - 1, 1)
+    v = 1.0 - ys / max(height - 1, 1)
     return u, v
 
 
@@ -407,8 +410,8 @@ def _fwd_kernel(
     u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
     if config.pixel_jitter:
         # stream contract: jitter uniforms are the FIRST two draws
-        u = u + (_uniform((tile_h, tile_w)) - 0.5) / (width - 1)
-        v = v + (_uniform((tile_h, tile_w)) - 0.5) / (height - 1)
+        u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(height - 1, 1)
     draws = StreamingDraws((tile_h, tile_w), config, light_index >= 0)
     outs = tile_physics(scene, cam_ref, u, v, draws, config, (tile_h, tile_w))
     for ref, val in zip(out_refs, outs):
@@ -442,8 +445,8 @@ def _bwd_kernel(
     u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
     if config.pixel_jitter:
         # same stream position as the forward's jitter draws
-        u = u + (_uniform((tile_h, tile_w)) - 0.5) / (width - 1)
-        v = v + (_uniform((tile_h, tile_w)) - 0.5) / (height - 1)
+        u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(height - 1, 1)
 
     # Regenerate the forward's exact random stream for this tile, BEFORE
     # tracing the differentiable closure (the PRNG is stateful).
@@ -494,7 +497,7 @@ def _scene_spec(n: int):
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta):
+def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta, interpret=False):
     (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
     grid = (hp // tile_h, wp // tile_w)
@@ -515,6 +518,7 @@ def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta):
         ],
         out_specs=[block] * 10,
         out_shape=[plane] * 10,
+        interpret=interpret,
     )(scene_packed, cam_pack, seed_i32)
 
 
@@ -634,7 +638,7 @@ def render_tiles_pallas(
     seed_i32 = jnp.asarray(seed, jnp.int32).reshape((1,))
 
     if interpret:  # test path: fwd only, through the TPU interpreter
-        outs = _run_fwd_interpret(
+        outs = _run_fwd(
             pack_scene(scene), cam_pack, seed_i32, meta=meta, interpret=interpret
         )
     else:
@@ -644,31 +648,6 @@ def render_tiles_pallas(
 
     names = ["r", "g", "b", "sx", "sy", "sz", "cr", "cg", "cb", "miss"]
     return dict(zip(names, outs))
-
-
-def _run_fwd_interpret(scene_packed, cam_pack, seed_i32, *, meta, interpret):
-    (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
-    hp, wp = _plane_shape(width, height, tile_h, tile_w)
-    grid = (hp // tile_h, wp // tile_w)
-    plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
-    kernel = functools.partial(
-        _fwd_kernel,
-        obj_type=obj_type, light_index=light_index, config=config,
-        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
-    )
-    block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            _scene_spec(len(obj_type)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[block] * 10,
-        out_shape=[plane] * 10,
-        interpret=interpret,
-    )(scene_packed, cam_pack, seed_i32)
 
 
 def render_image_pallas(
@@ -705,7 +684,23 @@ def render_image_pallas(
             bilinear=config.env_filter == "bilinear",
         )
         rgb = Vec3(t["r"], t["g"], t["b"]) + sky * Vec3(t["cr"], t["cg"], t["cb"]) * t["miss"]
-        return rgb.clip(0.0, 1.0)
+        rgb = rgb.clip(0.0, 1.0)
+        if config.soft_silhouette_temp > 0:
+            # same compositing as the XLA integrator (shared helper); runs
+            # in XLA over the padded planes with fresh primary rays
+            from ray_tracing_tpu.render.camera import ray_through_screen
+            from ray_tracing_tpu.render.integrator import soft_silhouette_composite
+
+            hp_, wp_ = rgb.shape
+            xs = jnp.broadcast_to(jnp.arange(wp_, dtype=jnp.float32), (hp_, wp_))
+            ys = jnp.broadcast_to(
+                jnp.arange(hp_, dtype=jnp.float32)[:, None], (hp_, wp_)
+            )
+            u = 1.0 - xs / max(width - 1, 1)
+            v = 1.0 - ys / max(height - 1, 1)
+            ro0, rd0 = ray_through_screen(camera, u, v, width / height, config)
+            rgb = soft_silhouette_composite(scene, ro0, rd0, rgb, config, cubemap)
+        return rgb
 
     if spp == 1:
         out = one(seed)

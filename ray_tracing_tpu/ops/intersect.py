@@ -82,9 +82,19 @@ def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3):
     hit axis (d > 0 -> -1). tnear < 0 (origin inside) is rejected like the
     reference's t >= 0 check in trace_ray.
     """
-    inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)  # IEEE inf matches C
-    t_a = (lo - ro) * inv
-    t_b = (hi - ro) * inv
+    def slab_t(num, den):
+        # Forward value == IEEE num/den exactly (signed inf / NaN on
+        # axis-parallel rays, like the C code's raw divisions), but the
+        # parallel branch is stop_gradient'd and where-guarded: without
+        # this, inf partials meet zero cotangents (0*inf = NaN) and one
+        # axis-aligned ray poisons every scene gradient through the psum.
+        zero = den == 0.0
+        exact = jax.lax.stop_gradient(num / den)
+        return jnp.where(zero, exact, num / jnp.where(zero, 1.0, den))
+
+    num_a, num_b = lo - ro, hi - ro
+    t_a = Vec3(slab_t(num_a.x, d.x), slab_t(num_a.y, d.y), slab_t(num_a.z, d.z))
+    t_b = Vec3(slab_t(num_b.x, d.x), slab_t(num_b.y, d.y), slab_t(num_b.z, d.z))
     pos = Vec3(d.x >= 0, d.y >= 0, d.z >= 0)
     tmin = Vec3.where_c(pos, t_a, t_b)
     tmax = Vec3.where_c(pos, t_b, t_a)

@@ -172,33 +172,39 @@ def render_rays(
     result = result.clip(0.0, 1.0)  # src/main.c:267-269
 
     if config.soft_silhouette_temp > 0:
-        # Soft primary-visibility compositing (differentiable-mode only; no
-        # reference analogue): alpha-blend the traced radiance against the
-        # primary-direction sky with a smooth winner-sphere coverage. This
-        # supplies the silhouette (visibility-boundary) gradient that
-        # detached-decision autodiff drops — see config.soft_silhouette_temp.
-        d0 = rd0.normalize()
-        h0 = trace(scene, ro0, rd0)
-        alpha = jnp.where(h0.hit, 1.0, 0.0)
-        for i in range(scene.num_objects):
-            if not scene.is_sphere(i):
-                continue
-            oc = scene.center(i) - ro0
-            along = oc.dot(d0)
-            d_perp2 = jnp.maximum(oc.norm2() - along * along, 1e-12)
-            d_perp = jnp.sqrt(d_perp2)
-            r = scene.radius(i)
-            a_i = jax.nn.sigmoid(
-                (r - d_perp) / (config.soft_silhouette_temp * jnp.maximum(r, 1e-6))
-            )
-            winner = (h0.obj == i) & h0.hit
-            alpha = jnp.where(winner & (along > 0), a_i, alpha)
-        sky0 = sample_cubemap(
-            cubemap, d0, bilinear=config.env_filter == "bilinear"
-        ).clip(0.0, 1.0)
-        result = result * alpha + sky0 * (1.0 - alpha)
+        result = soft_silhouette_composite(scene, ro0, rd0, result, config, cubemap)
 
     return result
+
+
+def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
+                              config: RenderConfig, cubemap: CubemapData) -> Vec3:
+    """Soft primary-visibility compositing (differentiable-mode only; no
+    reference analogue): alpha-blend the traced radiance against the
+    primary-direction sky with a smooth winner-sphere coverage. This
+    supplies the silhouette (visibility-boundary) gradient that
+    detached-decision autodiff drops — see config.soft_silhouette_temp.
+    Shared by the XLA integrator and the Pallas render wrapper."""
+    d0 = rd0.normalize()
+    h0 = trace(scene, ro0, rd0)
+    alpha = jnp.where(h0.hit, 1.0, 0.0)
+    for i in range(scene.num_objects):
+        if not scene.is_sphere(i):
+            continue
+        oc = scene.center(i) - ro0
+        along = oc.dot(d0)
+        d_perp2 = jnp.maximum(oc.norm2() - along * along, 1e-12)
+        d_perp = jnp.sqrt(d_perp2)
+        r = scene.radius(i)
+        a_i = jax.nn.sigmoid(
+            (r - d_perp) / (config.soft_silhouette_temp * jnp.maximum(r, 1e-6))
+        )
+        winner = (h0.obj == i) & h0.hit
+        alpha = jnp.where(winner & (along > 0), a_i, alpha)
+    sky0 = sample_cubemap(
+        cubemap, d0, bilinear=config.env_filter == "bilinear"
+    ).clip(0.0, 1.0)
+    return result * alpha + sky0 * (1.0 - alpha)
 
 
 def render_pixels(

@@ -203,6 +203,27 @@ def test_trace_winner_material():
     assert float(h.normal.z) == pytest.approx(1.0)
 
 
+def test_cube_gradient_finite_on_axis_parallel_rays():
+    """Axis-parallel rays (zero direction components) hit the IEEE-inf slab
+    path; gradients must stay finite (0*inf = NaN regression guard)."""
+    import dataclasses
+
+    scene = Scene.from_objects([
+        ObjectSpec(kind="cube", p0=(0.0, 0.0, 0.0), p1=(1.0, 1.0, 1.0)),
+    ])
+    ro = to_vec3(np.array([[0.5, 0.5, -2.0], [0.5, -2.0, 0.5], [-2.0, 0.5, 0.5]], np.float32))
+    rd = to_vec3(np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]], np.float32))
+
+    def f(p0):
+        h = trace(dataclasses.replace(scene, p0=p0), ro, rd)
+        return jnp.sum(jnp.where(h.hit, h.t, 0.0))
+
+    g = jax.grad(f)(scene.p0)
+    assert np.isfinite(np.asarray(g)).all(), np.asarray(g)
+    # t decreases as the box moves toward each ray origin
+    assert float(g[0, 2]) != 0.0
+
+
 def test_trace_scan_path_matches_unrolled():
     """Scenes above UNROLL_LIMIT take the lax.scan path (compile-time O(1)
     in object count, reference supports up to 1024); it must agree exactly
