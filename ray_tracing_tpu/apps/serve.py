@@ -1,0 +1,281 @@
+"""HTTP render service — remote interactive viewing & serving.
+
+The reference's display is a local GLFW window; a TPU host is headless and
+remote, so the serving equivalent is a tiny HTTP server around the
+progressive renderer:
+
+    GET  /            minimal HTML viewer (MJPEG stream + key capture)
+    GET  /stream      multipart/x-mixed-replace MJPEG of the live film
+    GET  /frame.png   current resolved frame as PNG
+    GET  /healthz     JSON health/stats (passes, weight, rays/s, device)
+    POST /key         body: one of w,a,s,d,i,j,k,l,space,reset — the
+                      reference's event loop over HTTP
+
+    python -m ray_tracing_tpu.apps.serve --scene /root/reference/scene_0.txt \
+        --port 8400 --width 320 --height 240
+
+Single render thread owns the device (the reference's worker pool owned
+the frame, src/main.c:324-414); HTTP threads only read the latest resolved
+frame under a lock and enqueue events — the same publish/consume split,
+with a queue instead of condvars.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!doctype html><title>ray_tracing_tpu</title>
+<body style="background:#111;color:#eee;font-family:monospace">
+<h3>ray_tracing_tpu — live render (WASD move, IJKL look, R reset)</h3>
+<img id=v src=/stream style="image-rendering:pixelated;width:640px">
+<div id=s></div>
+<script>
+document.addEventListener('keydown', e => {
+  const k = e.key.toLowerCase();
+  if ('wasdijkl r'.includes(k)) fetch('/key', {method:'POST', body:k});
+});
+setInterval(async () => {
+  const h = await (await fetch('/healthz')).json();
+  document.getElementById('s').textContent = JSON.stringify(h);
+}, 1000);
+</script>"""
+
+
+class RenderService:
+    """Owns the device: progressive passes + event handling in one thread."""
+
+    def __init__(self, scene, width, height, config, cubemap, use_pallas):
+        import jax
+
+        from ray_tracing_tpu.render.camera import Camera
+        from ray_tracing_tpu.render.film import (
+            Film,
+            progressive_scales,
+            render_pass,
+            render_pass_pallas,
+        )
+        from ray_tracing_tpu.utils.profiling import RateMeter, rays_per_frame
+
+        self.jax = jax
+        self.scene = scene
+        self.camera = Camera.default()
+        self.width, self.height = width, height
+        self.config = config
+        self.cubemap = cubemap
+        self.film = Film.zero(width, height)
+        self.scales = progressive_scales(config)
+        self.pass_i = 0
+        self.meter = RateMeter()
+        self.rays_per_frame = rays_per_frame
+        self.events: queue.Queue[str] = queue.Queue(maxsize=512)  # ref ring size
+        self.frame_lock = threading.Lock()
+        self.frame = np.zeros((height, width, 3), np.float32)
+        self.running = True
+        self.passes_done = 0
+        self.started = time.time()
+
+        if use_pallas:
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("scale",))
+            def pfn(scene, camera, film, seed, scale):
+                return render_pass_pallas(scene, camera, film, seed, scale,
+                                          config, cubemap)
+
+            self._pass = lambda key, scale: pfn(
+                self.scene, self.camera, self.film,
+                jax.random.randint(key, (), 0, 2**31 - 1), scale=scale)
+        else:
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("scale",))
+            def xfn(scene, camera, film, key, scale):
+                return render_pass(scene, camera, film, key, scale, config, cubemap)
+
+            self._pass = lambda key, scale: xfn(
+                self.scene, self.camera, self.film, key, scale=scale)
+
+    def invalidate(self):
+        from ray_tracing_tpu.render.film import Film
+
+        self.film = Film.zero(self.width, self.height)
+        self.pass_i = 0
+
+    def handle(self, ev: str):
+        from ray_tracing_tpu.render import camera as cam_mod
+
+        moves = {"w": cam_mod.UP, "s": cam_mod.DOWN, "a": cam_mod.LEFT,
+                 "d": cam_mod.RIGHT}
+        looks = {"i": (0, 60.0), "k": (0, -60.0), "j": (-60.0, 0), "l": (60.0, 0)}
+        if ev in moves:
+            self.camera = cam_mod.move(self.camera, moves[ev],
+                                       self.config.move_speed, self.config)
+            self.invalidate()
+        elif ev in looks:
+            dx, dy = looks[ev]
+            self.camera = cam_mod.rotate(self.camera, dx, dy, self.config)
+            self.invalidate()
+        elif ev in ("r", "reset"):
+            from ray_tracing_tpu.render.camera import Camera
+
+            self.camera = Camera.default()
+            self.invalidate()
+
+    def run(self):
+        key = self.jax.random.key(int(time.time()))
+        while self.running:
+            try:
+                while True:
+                    self.handle(self.events.get_nowait())
+            except queue.Empty:
+                pass
+            scale = self.scales[min(self.pass_i, len(self.scales) - 1)]
+            self.film = self._pass(
+                self.jax.random.fold_in(key, self.passes_done), scale)
+            resolved = np.asarray(self.film.resolve())
+            with self.frame_lock:
+                self.frame = resolved
+            self.meter.add(self.rays_per_frame(
+                self.width // scale, self.height // scale, 1, self.config))
+            self.pass_i += 1
+            self.passes_done += 1
+
+    def snapshot_png(self) -> bytes:
+        from PIL import Image
+
+        with self.frame_lock:
+            arr = (np.clip(self.frame, 0, 1) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "PNG")
+        return buf.getvalue()
+
+    def stats(self) -> dict:
+        return {
+            "status": "ok",
+            "passes": self.passes_done,
+            "film_weight": float(self.film.weight),
+            "rays_per_second": self.meter.rays_per_second,
+            "uptime_s": round(time.time() - self.started, 1),
+            "backend": self.jax.default_backend(),
+            "resolution": [self.width, self.height],
+        }
+
+
+def make_handler(svc: RenderService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/":
+                body = _PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/frame.png":
+                body = svc.snapshot_png()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/healthz":
+                body = json.dumps(svc.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/stream":
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                try:
+                    while svc.running:
+                        png = svc.snapshot_png()
+                        self.wfile.write(b"--frame\r\nContent-Type: image/png\r\n")
+                        self.wfile.write(
+                            f"Content-Length: {len(png)}\r\n\r\n".encode())
+                        self.wfile.write(png)
+                        self.wfile.write(b"\r\n")
+                        time.sleep(0.1)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path == "/key":
+                n = int(self.headers.get("Content-Length", 0))
+                ev = self.rfile.read(n).decode(errors="ignore").strip().lower()
+                try:
+                    svc.events.put_nowait(ev)
+                    code = 200
+                except queue.Full:  # ref drops on a full ring too
+                    code = 429
+                self.send_response(code)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            else:
+                self.send_error(404)
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raytrace-serve", description=__doc__)
+    p.add_argument("--scene", required=True)
+    p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--init-scale", type=int, default=8, choices=[1, 2, 4, 8, 16])
+    p.add_argument("--kernel", choices=["pallas", "xla"], default="pallas")
+    p.add_argument("--no-skybox", action="store_true")
+    p.add_argument("--assets", default="/root/reference/assets")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ray_tracing_tpu.config import RenderConfig
+    from ray_tracing_tpu.io.image import load_cubemap
+    from ray_tracing_tpu.ops.cubemap import constant_sky
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    scene = parse_scene_file(args.scene)
+    config = RenderConfig(init_scale=args.init_scale)
+    if args.no_skybox:
+        cubemap = constant_sky((0.6, 0.7, 0.9))
+    else:
+        try:
+            cubemap = load_cubemap(args.assets)
+        except OSError:
+            cubemap = constant_sky((0.6, 0.7, 0.9))
+
+    use_pallas = args.kernel == "pallas" and jax.default_backend() != "cpu"
+    svc = RenderService(scene, args.width, args.height, config, cubemap, use_pallas)
+    threading.Thread(target=svc.run, daemon=True).start()
+
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
+    print(f"Serving on http://{args.host}:{args.port}", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        svc.running = False
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,97 @@
+"""HTTP render service tests: drive the real server over a socket."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from ray_tracing_tpu.apps.serve import RenderService, make_handler
+from ray_tracing_tpu.config import RenderConfig
+from ray_tracing_tpu.ops.cubemap import constant_sky
+from ray_tracing_tpu.scene.types import ObjectSpec, Scene
+
+from http.server import ThreadingHTTPServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3),
+    ])
+    cfg = RenderConfig(bounces=2, shadow_samples=1, init_scale=4)
+    svc = RenderService(scene, 32, 24, cfg, constant_sky((0.4, 0.5, 0.6)),
+                        use_pallas=False)
+    t = threading.Thread(target=svc.run, daemon=True)
+    t.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    st = threading.Thread(target=httpd.serve_forever, daemon=True)
+    st.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    # wait for the first pass to land
+    deadline = time.time() + 120
+    while time.time() < deadline and svc.passes_done == 0:
+        time.sleep(0.2)
+    assert svc.passes_done > 0, "render thread never produced a pass"
+    yield base, svc
+    svc.running = False
+    httpd.shutdown()
+
+
+def get(url, timeout=30):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, r.headers, r.read()
+
+
+def test_healthz(server):
+    base, svc = server
+    status, _, body = get(base + "/healthz")
+    assert status == 200
+    h = json.loads(body)
+    assert h["status"] == "ok"
+    assert h["passes"] >= 1
+    assert h["resolution"] == [32, 24]
+
+
+def test_frame_png(server):
+    from PIL import Image
+    import io
+
+    base, _ = server
+    status, headers, body = get(base + "/frame.png")
+    assert status == 200
+    assert headers["Content-Type"] == "image/png"
+    with Image.open(io.BytesIO(body)) as im:
+        assert im.size == (32, 24)
+        arr = np.asarray(im.convert("RGB"))
+    assert arr.mean() > 1  # actual content, not black
+
+
+def test_index_page(server):
+    base, _ = server
+    status, headers, body = get(base + "/")
+    assert status == 200
+    assert b"/stream" in body
+
+
+def test_key_event_invalidates(server):
+    base, svc = server
+    pos_before = np.asarray(svc.camera.pos).copy()
+    req = urllib.request.Request(base + "/key", data=b"w", method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+    deadline = time.time() + 60
+    while time.time() < deadline and np.allclose(np.asarray(svc.camera.pos), pos_before):
+        time.sleep(0.2)
+    assert not np.allclose(np.asarray(svc.camera.pos), pos_before)
+
+
+def test_404(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(base + "/nope")
+    assert e.value.code == 404
