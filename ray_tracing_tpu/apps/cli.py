@@ -88,9 +88,28 @@ def main(argv=None):
     if args.kernel == "pallas" and not use_pallas:
         print("No TPU backend; falling back to XLA kernel", file=sys.stderr)
 
+    # --threads caps the tile axis of the device mesh (the reference caps
+    # its worker-thread count at 32, src/main.c:46,632-633). With one
+    # device there is one tile; with N devices the offline render shards
+    # rows over min(threads, N, 32) of them.
+    n_avail = len(jax.devices())
+    cap = max(min(args.threads or n_avail, 32, n_avail), 1)
+    n_tiles = max(t for t in range(1, cap + 1) if args.height % t == 0)
+
     if args.output or not args.interactive:
         # Offline render (the reference has no offline mode — screenshots only).
-        if use_pallas:
+        if n_tiles > 1:
+            from ray_tracing_tpu.parallel.mesh import make_mesh
+            from ray_tracing_tpu.parallel.render import render_image_sharded
+
+            mesh = make_mesh(n_tiles, 1, devices=jax.devices()[:n_tiles])
+            print(f"Sharding rows over {n_tiles} devices", file=sys.stderr)
+            img = render_image_sharded(
+                scene, camera, args.width, args.height, key, mesh,
+                spp=args.spp, config=config, cubemap=cubemap,
+                kernel="pallas" if use_pallas else "xla",
+            )
+        elif use_pallas:
             from ray_tracing_tpu.kernels.megakernel import render_image_pallas
 
             img = render_image_pallas(

@@ -80,7 +80,10 @@ def main(argv=None):
                 ),
                 np.float32,
             ) / 255.0
-        target = jnp.asarray(target)
+        # PNGs are written display-flipped (io.save_png / the reference's
+        # stbi_flip_vertically_on_write) — flip rows back into array space
+        # or the optimizer chases a vertically mirrored target.
+        target = jnp.asarray(target[::-1].copy())
     else:
         target = render_image_sharded(
             scene, camera, args.width, height, jax.random.key(args.seed + 99),

@@ -153,7 +153,9 @@ class RenderService:
         from PIL import Image
 
         with self.frame_lock:
-            arr = (np.clip(self.frame, 0, 1) * 255).astype(np.uint8)
+            # flip to display convention (matches the reference GL quad and
+            # io.save_png's vertical flip on write)
+            arr = (np.clip(self.frame[::-1], 0, 1) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, "PNG")
         return buf.getvalue()

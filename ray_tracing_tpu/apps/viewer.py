@@ -236,7 +236,10 @@ class Viewer:
                 f"\x1b[0m\n pass {self.pass_i}  weight {float(self.film.weight):.2f}"
                 f"  {self.meter.format()}  [WASD move  IJKL look  SPACE shot  Q quit]\x1b[K"
             )
-        self.out.write("\x1b[H" + frame_to_ansi(img) + hud)
+        # Row 0 is array-space bottom-of-scene; the reference GL quad shows
+        # row 0 at the bottom (assets/screen.vs texcoords) and save_png
+        # flips on write — flip here so the live view matches both.
+        self.out.write("\x1b[H" + frame_to_ansi(img[::-1]) + hud)
         self.out.flush()
 
 

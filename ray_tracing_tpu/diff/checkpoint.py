@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import warnings
 
 import jax
 import numpy as np
@@ -35,7 +36,10 @@ def save_checkpoint(directory: str, state: dict, step: int) -> str:
 
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.abspath(path), _to_host(state), force=True)
-    except Exception:
+    except Exception as e:
+        warnings.warn(
+            f"orbax save failed ({type(e).__name__}: {e}); falling back to pickle"
+        )
         with open(path + ".pkl", "wb") as f:
             pickle.dump(_to_host(state), f)
     return path
@@ -67,5 +71,52 @@ def restore_checkpoint(directory: str, step: int | None = None):
 
         ckptr = ocp.PyTreeCheckpointer()
         return ckptr.restore(os.path.abspath(path))
-    except Exception:
+    except Exception as e:
+        # A checkpoint directory EXISTS but cannot be read — never resume
+        # silently as "no checkpoint"; the caller must hear about it.
+        warnings.warn(
+            f"failed to restore checkpoint {path} "
+            f"({type(e).__name__}: {e}); treating as no checkpoint"
+        )
         return None
+
+
+# --- Film accumulation state (render/film.py) -------------------------------
+
+
+def save_film(directory: str, film, step: int = 0) -> str:
+    """Checkpoint a Film so long progressive renders survive restarts."""
+    return save_checkpoint(
+        directory,
+        {
+            # numeric tag, not a string: orbax can't serialize str leaves
+            "film_tag": np.int32(1),
+            "accum_x": film.accum.x,
+            "accum_y": film.accum.y,
+            "accum_z": film.accum.z,
+            "weight": film.weight,
+        },
+        step,
+    )
+
+
+def restore_film(directory: str, step: int | None = None):
+    """Load a Film checkpoint -> Film, or None if nothing exists."""
+    state = restore_checkpoint(directory, step)
+    if state is None:
+        return None
+    if "film_tag" not in state or int(np.asarray(state["film_tag"])) != 1:
+        raise ValueError(f"checkpoint in {directory} is not a Film checkpoint")
+    import jax.numpy as jnp
+
+    from ray_tracing_tpu.ops.vec import Vec3
+    from ray_tracing_tpu.render.film import Film
+
+    return Film(
+        accum=Vec3(
+            jnp.asarray(state["accum_x"]),
+            jnp.asarray(state["accum_y"]),
+            jnp.asarray(state["accum_z"]),
+        ),
+        weight=jnp.asarray(state["weight"], jnp.float32),
+    )

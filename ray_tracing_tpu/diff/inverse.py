@@ -22,7 +22,7 @@ from jax.sharding import PartitionSpec as P
 from ray_tracing_tpu.config import RenderConfig, DEFAULT_CONFIG
 from ray_tracing_tpu.ops.cubemap import CubemapData
 from ray_tracing_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
-from ray_tracing_tpu.parallel.render import _local_tile_render
+from ray_tracing_tpu.parallel.render import _local_tile_render, resolve_kernel
 from ray_tracing_tpu.render.camera import Camera
 from ray_tracing_tpu.scene.types import Scene
 
@@ -51,21 +51,28 @@ def make_train_step(
     spp: int = 4,
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
+    kernel: str = "auto",
 ):
     """Build a jitted SPMD train step.
 
     params pytree: {"scene": {field: array}, "camera": {field: array}}.
     Returns step(params, opt_state, target, key) -> (params, opt_state, loss)
     with target (H, W, 3) sharded (or shardable) over rows.
+
+    kernel "auto" trains through the Pallas megakernel (fwd + custom-VJP
+    bwd, kernels/megakernel.py) on TPU meshes and the XLA integrator
+    elsewhere; per-device kernel gradients are psum-combined over the mesh
+    exactly like the XLA path's.
     """
     denom = float(width * height * 3)
+    kernel = resolve_kernel(kernel, mesh)
 
     def local_value_and_grad(params, target_local, key):
         def loss_fn(p):
             scene = apply_params(base_scene, p["scene"])
             cam = dataclasses.replace(camera, **p["camera"])
             img = _local_tile_render(
-                scene, cam, key, width, height, spp, config, cubemap
+                scene, cam, key, width, height, spp, config, cubemap, kernel
             )  # (local_h, W, 3), sample-psummed
             return jnp.sum((img - target_local) ** 2)
 
@@ -114,6 +121,7 @@ def fit(
     callback=None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 50,
+    kernel: str = "auto",
 ):
     """Adam loop recovering `scene_fields` (+ `camera_fields`) from `target`.
 
@@ -181,7 +189,7 @@ def fit(
 
     step = make_train_step(
         base_scene, camera, mesh, optimizer, width, height,
-        spp=spp, config=config, cubemap=cubemap,
+        spp=spp, config=config, cubemap=cubemap, kernel=kernel,
     )
 
     target = jnp.asarray(target, jnp.float32)
@@ -229,6 +237,7 @@ def fit_multiscale(
     cubemap: CubemapData | None = None,
     key=None,
     callback=None,
+    kernel: str = "auto",
 ):
     """Coarse-to-fine inverse rendering: each (downscale, steps) stage
     optimizes against an area-downsampled target. Low resolutions blur
@@ -262,6 +271,7 @@ def fit_multiscale(
             steps=steps, lr=lr, width=w, height=h, spp=spp,
             config=config, cubemap=cubemap,
             key=jax.random.fold_in(key, stage), callback=callback,
+            kernel=kernel,
         )
         all_losses += losses
     return scene, cam, all_losses

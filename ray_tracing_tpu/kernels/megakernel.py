@@ -361,7 +361,11 @@ def tile_physics(scene: SceneView, cam, u, v, draws, config: RenderConfig, shape
     )
 
 
-def _tile_uv(i, j, tile_h, tile_w, width, height):
+def _tile_uv(i, j, tile_h, tile_w, width, norm_height, row0):
+    """row0 (traced int32) offsets this kernel invocation's rows into a
+    taller norm_height-row global image — the sharded path renders a row
+    slice per device (parallel/render.py) but u/v must be normalized over
+    the full frame."""
     shape = (tile_h, tile_w)
     xs = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
@@ -370,11 +374,12 @@ def _tile_uv(i, j, tile_h, tile_w, width, height):
     ys = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
         + i.astype(jnp.float32) * tile_h
+        + row0.astype(jnp.float32)
     )
     # pixel -> screen coords with the reference flips (src/main.c:293-296);
     # max(dim-1, 1) guards 1-pixel-wide renders (film.py lowres pyramid)
     u = 1.0 - xs / max(width - 1, 1)
-    v = 1.0 - ys / max(height - 1, 1)
+    v = 1.0 - ys / max(norm_height - 1, 1)
     return u, v
 
 
@@ -394,20 +399,21 @@ def _seed_tile(seed_scalar):
 def _fwd_kernel(
     scene_ref,  # SMEM (N, 16)
     cam_ref,    # SMEM (16,)
-    seed_ref,   # SMEM (1,) int32
+    scalars_ref,  # SMEM (2,) int32: [seed, row0]
     *out_refs,  # 10 x VMEM (tile_h, tile_w)
     obj_type,
     light_index,
     config,
     width,
     height,
+    norm_height,
     tile_h,
     tile_w,
 ):
-    _seed_tile(seed_ref[0])
+    _seed_tile(scalars_ref[0])
     scene = SceneView(scene_ref, obj_type, light_index)
     i, j = pl.program_id(0), pl.program_id(1)
-    u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
+    u, v = _tile_uv(i, j, tile_h, tile_w, width, norm_height, scalars_ref[1])
     if config.pixel_jitter:
         # stream contract: jitter uniforms are the FIRST two draws
         u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
@@ -427,22 +433,23 @@ def _fwd_kernel(
 def _bwd_kernel(
     scene_ref,   # VMEM (N, 16) — differentiable input, read as a value
     cam_ref,     # VMEM (1, 16) — differentiable input
-    seed_ref,    # SMEM (1,) int32
+    scalars_ref,  # SMEM (2,) int32: [seed, row0]
     *rest,       # 10 cotangent refs, then grad_scene_ref, grad_cam_ref
     obj_type,
     light_index,
     config,
     width,
     height,
+    norm_height,
     tile_h,
     tile_w,
 ):
     g_refs = rest[:10]
     grad_scene_ref, grad_cam_ref = rest[10], rest[11]
 
-    _seed_tile(seed_ref[0])
+    _seed_tile(scalars_ref[0])
     i, j = pl.program_id(0), pl.program_id(1)
-    u, v = _tile_uv(i, j, tile_h, tile_w, width, height)
+    u, v = _tile_uv(i, j, tile_h, tile_w, width, norm_height, scalars_ref[1])
     if config.pixel_jitter:
         # same stream position as the forward's jitter draws
         u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
@@ -497,15 +504,16 @@ def _scene_spec(n: int):
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta, interpret=False):
-    (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
+def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False):
+    (obj_type, light_index, config, width, height, norm_height, tile_h, tile_w) = meta
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
     grid = (hp // tile_h, wp // tile_w)
     plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     kernel = functools.partial(
         _fwd_kernel,
         obj_type=obj_type, light_index=light_index, config=config,
-        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+        width=width, height=height, norm_height=norm_height,
+        tile_h=tile_h, tile_w=tile_w,
     )
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -519,11 +527,11 @@ def _run_fwd(scene_packed, cam_pack, seed_i32, *, meta, interpret=False):
         out_specs=[block] * 10,
         out_shape=[plane] * 10,
         interpret=interpret,
-    )(scene_packed, cam_pack, seed_i32)
+    )(scene_packed, cam_pack, scalars_i32)
 
 
-def _run_bwd(scene_packed, cam_pack, seed_i32, cotangents, *, meta):
-    (obj_type, light_index, config, width, height, tile_h, tile_w) = meta
+def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta):
+    (obj_type, light_index, config, width, height, norm_height, tile_h, tile_w) = meta
     n = len(obj_type)
     if n > UNROLL_LIMIT:
         raise NotImplementedError(
@@ -540,7 +548,8 @@ def _run_bwd(scene_packed, cam_pack, seed_i32, cotangents, *, meta):
     kernel = functools.partial(
         _bwd_kernel,
         obj_type=obj_type, light_index=light_index, config=config,
-        width=width, height=height, tile_h=tile_h, tile_w=tile_w,
+        width=width, height=height, norm_height=norm_height,
+        tile_h=tile_h, tile_w=tile_w,
     )
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     whole = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
@@ -558,7 +567,7 @@ def _run_bwd(scene_packed, cam_pack, seed_i32, cotangents, *, meta):
             jax.ShapeDtypeStruct((n, SCENE_COLS), jnp.float32),
             jax.ShapeDtypeStruct((1, SCENE_COLS), jnp.float32),
         ],
-    )(scene_packed, cam_pack.reshape(1, SCENE_COLS), seed_i32, *cotangents)
+    )(scene_packed, cam_pack.reshape(1, SCENE_COLS), scalars_i32, *cotangents)
     return g_scene, g_cam.reshape(SCENE_COLS)
 
 
@@ -566,25 +575,25 @@ def _run_bwd(scene_packed, cam_pack, seed_i32, cotangents, *, meta):
 def _make_core(meta):
     """custom_vjp core for one (topology, config, geometry) signature."""
 
-    # The seed rides through the differentiable signature as the BITCAST of
-    # its int32 value (a float32 cast would quantize seeds >= 2^24 and
-    # collapse distinct per-sample streams).
+    # The [seed, row0] scalars ride through the differentiable signature as
+    # the BITCAST of their int32 values (a float32 cast would quantize seeds
+    # >= 2^24 and collapse distinct per-sample streams).
     @jax.custom_vjp
-    def core(scene_packed, cam_pack, seed_bits):
-        seed = jax.lax.bitcast_convert_type(seed_bits, jnp.int32)
-        return _run_fwd(scene_packed, cam_pack, seed, meta=meta)
+    def core(scene_packed, cam_pack, scalar_bits):
+        scalars = jax.lax.bitcast_convert_type(scalar_bits, jnp.int32)
+        return _run_fwd(scene_packed, cam_pack, scalars, meta=meta)
 
-    def core_fwd(scene_packed, cam_pack, seed_bits):
-        out = core(scene_packed, cam_pack, seed_bits)
-        return out, (scene_packed, cam_pack, seed_bits)
+    def core_fwd(scene_packed, cam_pack, scalar_bits):
+        out = core(scene_packed, cam_pack, scalar_bits)
+        return out, (scene_packed, cam_pack, scalar_bits)
 
     def core_bwd(res, cotangents):
-        scene_packed, cam_pack, seed_bits = res
-        seed = jax.lax.bitcast_convert_type(seed_bits, jnp.int32)
+        scene_packed, cam_pack, scalar_bits = res
+        scalars = jax.lax.bitcast_convert_type(scalar_bits, jnp.int32)
         g_scene, g_cam = _run_bwd(
-            scene_packed, cam_pack, seed, tuple(cotangents), meta=meta
+            scene_packed, cam_pack, scalars, tuple(cotangents), meta=meta
         )
-        return g_scene, g_cam, jnp.zeros_like(seed_bits)
+        return g_scene, g_cam, jnp.zeros_like(scalar_bits)
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -623,28 +632,47 @@ def render_tiles_pallas(
     tile_h: int | None = None,
     tile_w: int | None = None,
     interpret: bool = False,
+    row0=0,
+    norm_height: int | None = None,
+    aspect: float | None = None,
 ):
     """One sample per pixel over the padded (HP, WP) grid. Returns a dict of
     (HP, WP) planes. Differentiable w.r.t. scene and camera (custom VJP:
-    Pallas forward + Pallas backward with re-seeded identical streams)."""
+    Pallas forward + Pallas backward with re-seeded identical streams).
+
+    row0/norm_height render a row SLICE of a norm_height-tall frame whose
+    rows start at global row row0 (row0 may be traced — the sharded path
+    passes the mesh tile index, parallel/render.py); aspect overrides the
+    camera frustum's aspect ratio (the progressive pyramid renders low-res
+    grids with the full-res aspect, src/main.c:281)."""
     if tile_h is None or tile_w is None:
         dth, dtw = default_tiles(scene, config)
         tile_h = tile_h or dth
         tile_w = tile_w or dtw
+    if norm_height is None:
+        norm_height = height
+    if aspect is None:
+        aspect = width / norm_height
     meta = (
-        scene.obj_type, scene.light_index, config, width, height, tile_h, tile_w
+        scene.obj_type, scene.light_index, config, width, height, norm_height,
+        tile_h, tile_w,
     )
-    cam_pack = _camera_pack(camera, width / height, config)
-    seed_i32 = jnp.asarray(seed, jnp.int32).reshape((1,))
+    cam_pack = _camera_pack(camera, aspect, config)
+    scalars_i32 = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32).reshape(()),
+            jnp.asarray(row0, jnp.int32).reshape(()),
+        ]
+    )
 
     if interpret:  # test path: fwd only, through the TPU interpreter
         outs = _run_fwd(
-            pack_scene(scene), cam_pack, seed_i32, meta=meta, interpret=interpret
+            pack_scene(scene), cam_pack, scalars_i32, meta=meta, interpret=interpret
         )
     else:
         core = _make_core(meta)
-        seed_bits = jax.lax.bitcast_convert_type(seed_i32, jnp.float32)
-        outs = core(pack_scene(scene), cam_pack, seed_bits)
+        scalar_bits = jax.lax.bitcast_convert_type(scalars_i32, jnp.float32)
+        outs = core(pack_scene(scene), cam_pack, scalar_bits)
 
     names = ["r", "g", "b", "sx", "sy", "sz", "cr", "cg", "cb", "miss"]
     return dict(zip(names, outs))
@@ -662,21 +690,30 @@ def render_image_pallas(
     tile_h: int | None = None,
     tile_w: int | None = None,
     interpret: bool = False,
+    row0=0,
+    norm_height: int | None = None,
+    aspect: float | None = None,
 ):
     """Full render via the megakernel + deferred XLA sky gather. Drop-in for
     render_image (same statistics, different RNG streams) and differentiable
-    end-to-end (fwd+bwd both Pallas)."""
+    end-to-end (fwd+bwd both Pallas). row0/norm_height/aspect as in
+    render_tiles_pallas (row-slice rendering for the sharded path)."""
     if tile_h is None or tile_w is None:
         dth, dtw = default_tiles(scene, config)
         tile_h = tile_h or dth
         tile_w = tile_w or dtw
     if cubemap is None:
         cubemap = constant_sky()
+    if norm_height is None:
+        norm_height = height
+    if aspect is None:
+        aspect = width / norm_height
     seed = jnp.asarray(seed, jnp.int32)
 
     def one(s):
         t = render_tiles_pallas(
-            scene, camera, width, height, s, config, tile_h, tile_w, interpret
+            scene, camera, width, height, s, config, tile_h, tile_w, interpret,
+            row0=row0, norm_height=norm_height, aspect=aspect,
         )
         sky = sample_cubemap(
             cubemap,
@@ -695,10 +732,10 @@ def render_image_pallas(
             xs = jnp.broadcast_to(jnp.arange(wp_, dtype=jnp.float32), (hp_, wp_))
             ys = jnp.broadcast_to(
                 jnp.arange(hp_, dtype=jnp.float32)[:, None], (hp_, wp_)
-            )
+            ) + jnp.asarray(row0, jnp.float32)
             u = 1.0 - xs / max(width - 1, 1)
-            v = 1.0 - ys / max(height - 1, 1)
-            ro0, rd0 = ray_through_screen(camera, u, v, width / height, config)
+            v = 1.0 - ys / max(norm_height - 1, 1)
+            ro0, rd0 = ray_through_screen(camera, u, v, aspect, config)
             rgb = soft_silhouette_composite(scene, ro0, rd0, rgb, config, cubemap)
         return rgb
 

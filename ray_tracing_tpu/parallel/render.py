@@ -38,9 +38,15 @@ def _local_tile_render(
     spp: int,
     config: RenderConfig,
     cubemap: CubemapData | None,
+    kernel: str = "xla",
 ):
     """Render this device's row-slice of the image, summing its local
-    samples. Runs inside shard_map."""
+    samples. Runs inside shard_map.
+
+    kernel: "xla" (render_rays bounce scan), "pallas" (the megakernel — the
+    TPU fast path, kernels/megakernel.py, with this device's global row
+    offset), or "pallas_interpret" (Pallas interpreter, CPU-testable,
+    forward only)."""
     n_tiles = jax.lax.axis_size(TILE_AXIS)
     n_samples = jax.lax.axis_size(SAMPLE_AXIS)
     tile = jax.lax.axis_index(TILE_AXIS)
@@ -52,29 +58,62 @@ def _local_tile_render(
     # Per-device decorrelated but deterministic key.
     key = jax.random.fold_in(key, tile * n_samples + samp)
 
-    # This tile's pixel grid: global-row v, full-width u (src/main.c:293-296).
-    x = jnp.arange(width, dtype=jnp.float32)
-    y_local = jnp.arange(local_h, dtype=jnp.float32) + tile * local_h
-    u = 1.0 - x / (width - 1)
-    v = 1.0 - y_local / (height - 1)
-    uu, vv = jnp.meshgrid(u, v)
-    aspect = width / height
+    if kernel in ("pallas", "pallas_interpret"):
+        from ray_tracing_tpu.kernels.megakernel import render_image_pallas
 
-    ro, rd = ray_through_screen(camera, uu, vv, aspect, config)
+        # The megakernel's streams come from the hardware PRNG: derive this
+        # device's int32 seed from its folded key.
+        seed = jax.random.randint(
+            key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+        if kernel == "pallas_interpret":
+            # Mosaic TPU interpreter (not the HLO one — only it implements
+            # the hardware PRNG primitives on CPU)
+            from jax.experimental.pallas import tpu as pltpu
 
-    def one(k) -> Vec3:
-        return render_rays(scene, ro, rd, k, config, cubemap)
+            interpret = pltpu.InterpretParams()
+        else:
+            interpret = False
+        img = render_image_pallas(
+            scene, camera, width, local_h, seed, spp=local_spp,
+            config=config, cubemap=cubemap,
+            row0=tile * local_h, norm_height=height, aspect=width / height,
+            interpret=interpret,
+        )  # (local_h, W, 3) mean over local samples
+        total = Vec3(img[..., 0], img[..., 1], img[..., 2]) * float(local_spp)
+    else:
+        # This tile's pixel grid: global-row v, full-width u (src/main.c:293-296).
+        x = jnp.arange(width, dtype=jnp.float32)
+        y_local = jnp.arange(local_h, dtype=jnp.float32) + tile * local_h
+        u = 1.0 - x / (width - 1)
+        v = 1.0 - y_local / (height - 1)
+        uu, vv = jnp.meshgrid(u, v)
+        aspect = width / height
 
-    keys = jax.random.split(key, local_spp)
-    total, _ = jax.lax.scan(
-        lambda acc, k: (acc + one(k), None), Vec3.zeros((local_h, width)), keys
-    )
+        ro, rd = ray_through_screen(camera, uu, vv, aspect, config)
+
+        def one(k) -> Vec3:
+            return render_rays(scene, ro, rd, k, config, cubemap)
+
+        keys = jax.random.split(key, local_spp)
+        total, _ = jax.lax.scan(
+            lambda acc, k: (acc + one(k), None), Vec3.zeros((local_h, width)), keys
+        )
 
     # Combine sample shards: the collective accumulation step.
     total = jax.tree_util.tree_map(
         lambda c: jax.lax.psum(c, SAMPLE_AXIS), total
     )
     return (total * (1.0 / spp)).to_array()  # (local_h, W, 3)
+
+
+def resolve_kernel(kernel: str, mesh) -> str:
+    """"auto" -> "pallas" on TPU meshes, "xla" elsewhere (Mosaic kernels
+    only compile for TPU; CPU meshes are the test/dryrun environment)."""
+    if kernel == "auto":
+        platform = next(iter(mesh.devices.flat)).platform
+        return "pallas" if platform == "tpu" else "xla"
+    return kernel
 
 
 def render_image_sharded(
@@ -87,9 +126,14 @@ def render_image_sharded(
     spp: int = 1,
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
+    kernel: str = "auto",
 ):
     """Full-frame render sharded over (tile, sample). Returns (H, W, 3)
     with rows sharded over the tile axis.
+
+    kernel: "auto" (megakernel on TPU meshes, XLA elsewhere), "pallas",
+    "pallas_interpret", or "xla" — the BASELINE north star is the Pallas
+    megakernel scaling over sharded tiles and samples, not the slow path.
 
     Requires height % n_tiles == 0 and spp % n_samples == 0 (pad upstream —
     unlike the reference, which silently never renders the rightmost
@@ -110,6 +154,7 @@ def render_image_sharded(
             spp=spp,
             config=config,
             cubemap=cubemap,
+            kernel=resolve_kernel(kernel, mesh),
         ),
         mesh=mesh,
         in_specs=(P(), P(), P()),            # scene, camera, key replicated

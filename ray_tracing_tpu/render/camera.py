@@ -42,10 +42,13 @@ class Camera:
 
     @staticmethod
     def default() -> "Camera":
-        inv_sqrt3 = 1.0 / math.sqrt(3.0)
+        # The reference's initial front {-1,-1,-1} is UNNORMALIZED and
+        # move_camera steps along it raw (src/camera.c:26, :80-88), so WASD
+        # moves before the first rotation are sqrt(3)x a post-rotation step.
+        # Kept raw for parity; ray generation normalizes independently.
         return Camera(
             pos=jnp.array([5.0, 5.0, 5.0], jnp.float32),
-            front=jnp.array([-inv_sqrt3] * 3, jnp.float32),
+            front=jnp.array([-1.0, -1.0, -1.0], jnp.float32),
             up=jnp.array([0.0, 1.0, 0.0], jnp.float32),
             yaw=jnp.float32(-90.0),
             pitch=jnp.float32(0.0),

@@ -129,8 +129,12 @@ def render_pass_pallas(
     width, height = film.width, film.height
     lw = max(width // scale, 1)
     lh = max(height // scale, 1)
+    # every pyramid scale shares the FULL-RES aspect (src/main.c:281) —
+    # lw/lh alone would distort warm-up passes when width or height isn't
+    # divisible by the scale
     img = render_image_pallas(
-        scene, camera, lw, lh, seed, spp=1, config=config, cubemap=cubemap
+        scene, camera, lw, lh, seed, spp=1, config=config, cubemap=cubemap,
+        aspect=width / height,
     )
     rgb = Vec3(img[..., 0], img[..., 1], img[..., 2])
     full = upsample_replicate(rgb, scale, width, height)

@@ -63,3 +63,51 @@ def test_fit_resumes_from_checkpoint(tmp_path):
     assert len(losses20) == 20
     assert losses20[:10] == pytest.approx(losses10, rel=1e-6)
     assert losses20[-1] < losses10[0]
+
+
+def test_film_checkpoint_roundtrip(tmp_path):
+    from ray_tracing_tpu.diff.checkpoint import restore_film, save_film
+    from ray_tracing_tpu.ops.cubemap import gradient_sky
+    from ray_tracing_tpu.render.film import Film, render_pass
+    from ray_tracing_tpu.scene.parser import parse_scene_string
+
+    scene = parse_scene_string("sphere center {0 0 0} radius 1.5\n")
+    cam = Camera.default()
+    cfg = RenderConfig(bounces=2, shadow_samples=1)
+    sky = gradient_sky(8)
+
+    film = Film.zero(24, 16)
+    film = render_pass(scene, cam, film, jax.random.key(0), 2, cfg, sky)
+    film = render_pass(scene, cam, film, jax.random.key(1), 1, cfg, sky)
+
+    d = str(tmp_path / "film")
+    assert restore_film(d) is None
+    save_film(d, film, step=2)
+    back = restore_film(d)
+    assert float(back.weight) == pytest.approx(float(film.weight))
+    np.testing.assert_allclose(
+        np.asarray(back.resolve()), np.asarray(film.resolve()), atol=1e-6
+    )
+    # resumed accumulation continues identically
+    cont_a = render_pass(scene, cam, film, jax.random.key(2), 1, cfg, sky)
+    cont_b = render_pass(scene, cam, back, jax.random.key(2), 1, cfg, sky)
+    np.testing.assert_allclose(
+        np.asarray(cont_a.resolve()), np.asarray(cont_b.resolve()), atol=1e-6
+    )
+    # a non-Film checkpoint is rejected, not mis-assembled
+    d2 = str(tmp_path / "notfilm")
+    save_checkpoint(d2, {"x": jnp.zeros(3)}, 1)
+    with pytest.raises(ValueError, match="not a Film"):
+        restore_film(d2)
+
+
+def test_restore_corrupt_checkpoint_warns(tmp_path):
+    import warnings as _w
+
+    d = tmp_path / "bad"
+    (d / "ckpt_00000003").mkdir(parents=True)  # empty dir: orbax will fail
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = restore_checkpoint(str(d))
+    assert out is None
+    assert any("failed to restore" in str(r.message) for r in rec)

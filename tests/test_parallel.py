@@ -132,3 +132,75 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+# --- sharded Pallas megakernel path (VERDICT round-1 item 1) ---------------
+
+
+def _expected_pallas_rows(s, cam, width, height, mesh, spp, key, config, sky):
+    """Mirror _local_tile_render's pallas branch per device, unsharded."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+
+    n_tiles = mesh.shape["tile"]
+    n_samples = mesh.shape["sample"]
+    local_h = height // n_tiles
+    local_spp = spp // n_samples
+    out = np.zeros((height, width, 3), np.float32)
+    for t in range(n_tiles):
+        acc = np.zeros((local_h, width, 3), np.float32)
+        for sm in range(n_samples):
+            k = jax.random.fold_in(key, t * n_samples + sm)
+            seed = jax.random.randint(
+                k, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            img = render_image_pallas(
+                s, cam, width, local_h, seed, spp=local_spp,
+                config=config, cubemap=sky,
+                row0=t * local_h, norm_height=height, aspect=width / height,
+                interpret=pltpu.InterpretParams(),
+            )
+            acc += np.asarray(img) * local_spp
+        out[t * local_h:(t + 1) * local_h] = acc / spp
+    return out
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RTT_SLOW") != "1",
+    reason="Pallas interpreter compiles are minutes-slow on CPU; RTT_SLOW=1",
+)
+def test_sharded_pallas_interpret_bit_exact():
+    """render_image_sharded(kernel='pallas_interpret') must equal the
+    manual per-device row-slice composition bit-for-bit: the row0/
+    norm_height plumbing and the per-device seed derivation are the whole
+    difference between sharded and unsharded megakernel rendering."""
+    cfg = RenderConfig(bounces=2, shadow_samples=1)
+    sky = constant_sky((0.4, 0.5, 0.6))
+    s = scene()
+    cam = Camera.default()
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    W, H, spp = 128, 32, 2
+
+    got = np.asarray(
+        render_image_sharded(s, cam, W, H, KEY, mesh, spp=spp, config=cfg,
+                             cubemap=sky, kernel="pallas_interpret")
+    )
+    want = _expected_pallas_rows(s, cam, W, H, mesh, spp, KEY, cfg, sky)
+    np.testing.assert_array_equal(got, want)
+    # sanity: statistically consistent with the XLA path too
+    xla = np.asarray(
+        render_image_sharded(s, cam, W, H, KEY, mesh, spp=8, config=cfg,
+                             cubemap=sky, kernel="xla")
+    )
+    # loose smoke check: tiny image, few samples, different RNG families
+    assert abs(got.mean() - xla.mean()) < 0.05
+
+
+def test_resolve_kernel_auto_cpu():
+    from ray_tracing_tpu.parallel.render import resolve_kernel
+
+    mesh = make_mesh(4, 2)
+    assert resolve_kernel("auto", mesh) == "xla"  # CPU virtual mesh
+    assert resolve_kernel("pallas", mesh) == "pallas"
+    assert resolve_kernel("xla", mesh) == "xla"
