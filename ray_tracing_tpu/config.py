@@ -62,6 +62,17 @@ class RenderConfig:
     # faithful to the reference (src/gpu_and_windowing.c:103-104).
     env_filter: str = "nearest"  # "nearest" | "bilinear"
 
+    # Sparse sky gather (exact; no reference analogue needed — pure perf).
+    # Across Monte-Carlo samples at a fixed camera the nearest-texel sky
+    # lookup repeats for primary misses and pure-specular chains; when on,
+    # multi-sample renders gather only CHANGED texel indices per sample
+    # (ops/cubemap.sparse_sky_lookup) — bit-identical results, large
+    # speedup on gather-bound skybox workloads. budget_frac is the
+    # compacted-gather size as a fraction of the frame (overflow falls
+    # back to a full gather, preserving exactness).
+    sky_sparse_gather: bool = True
+    sky_sparse_budget_frac: float = 0.125
+
     # Soft primary-silhouette compositing (Pulsar-style, PAPERS.md): when
     # > 0, the final pixel is alpha-blended between the traced radiance and
     # the primary-direction sky with a smooth sphere-coverage alpha, giving

@@ -710,16 +710,13 @@ def render_image_pallas(
         aspect = width / norm_height
     seed = jnp.asarray(seed, jnp.int32)
 
-    def one(s):
-        t = render_tiles_pallas(
+    def tiles(s):
+        return render_tiles_pallas(
             scene, camera, width, height, s, config, tile_h, tile_w, interpret,
             row0=row0, norm_height=norm_height, aspect=aspect,
         )
-        sky = sample_cubemap(
-            cubemap,
-            Vec3(t["sx"], t["sy"], t["sz"]),
-            bilinear=config.env_filter == "bilinear",
-        )
+
+    def compose(t, sky):
         rgb = Vec3(t["r"], t["g"], t["b"]) + sky * Vec3(t["cr"], t["cg"], t["cb"]) * t["miss"]
         rgb = rgb.clip(0.0, 1.0)
         if config.soft_silhouette_temp > 0:
@@ -739,8 +736,59 @@ def render_image_pallas(
             rgb = soft_silhouette_composite(scene, ro0, rd0, rgb, config, cubemap)
         return rgb
 
+    def one(s):
+        t = tiles(s)
+        sky = sample_cubemap(
+            cubemap,
+            Vec3(t["sx"], t["sy"], t["sz"]),
+            bilinear=config.env_filter == "bilinear",
+        )
+        return compose(t, sky)
+
+    # Sparse sky gather (bit-identical to the full path): sample 0 gathers
+    # every miss texel and becomes the cache; later samples gather only
+    # pixels whose nearest-texel INDEX changed (ops/cubemap.py rationale).
+    use_sparse = (
+        spp > 1
+        and config.sky_sparse_gather
+        and config.env_filter == "nearest"
+        and cubemap.packed is not None
+        and cubemap.h * cubemap.w > 1
+    )
+
     if spp == 1:
         out = one(seed)
+    elif use_sparse:
+        from ray_tracing_tpu.ops.cubemap import (
+            sparse_sky_lookup,
+            texel_flat_index,
+            unpack_texels,
+        )
+
+        seeds = seed * jnp.int32(7919) + jnp.arange(spp, dtype=jnp.int32)
+        t0 = tiles(seeds[0])
+        flat0 = texel_flat_index(cubemap, Vec3(t0["sx"], t0["sy"], t0["sz"]))
+        miss0 = t0["miss"] > 0.5
+        packed0 = jnp.where(
+            miss0, jnp.take(cubemap.packed, flat0), jnp.uint32(0)
+        )
+        acc0 = compose(t0, unpack_texels(packed0))
+        # budget is in 128-pixel blocks (ops/cubemap.SPARSE_BLOCK)
+        budget = max(
+            int(flat0.size * config.sky_sparse_budget_frac) // 128, 256
+        )
+
+        def body(acc, s):
+            t = tiles(s)
+            flat = texel_flat_index(cubemap, Vec3(t["sx"], t["sy"], t["sz"]))
+            miss = t["miss"] > 0.5
+            packed = sparse_sky_lookup(
+                cubemap, flat, miss, flat0, packed0, miss0, budget
+            )
+            return acc + compose(t, unpack_texels(packed)), None
+
+        total, _ = jax.lax.scan(body, acc0, seeds[1:])
+        out = total * (1.0 / spp)
     else:
         hp, wp = _plane_shape(width, height, tile_h, tile_w)
 

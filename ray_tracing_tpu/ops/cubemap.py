@@ -178,6 +178,115 @@ def sample_cubemap(cubemap: CubemapData, d: Vec3, bilinear: bool = False) -> Vec
     return top + (bot - top) * wy
 
 
+def texel_flat_index(cubemap: CubemapData, d: Vec3):
+    """Flat texel index of the nearest-texel lookup for unit directions —
+    the same (face, y, x) -> flat map _fetch gathers with. Pure VPU math
+    (no gather); lets callers dedupe/compact sky lookups by index."""
+    face, u, v = face_uv(d)
+    u = 0.5 * (jnp.clip(u, -1.0, 1.0) + 1.0)
+    v = 0.5 * (jnp.clip(v, -1.0, 1.0) + 1.0)
+    x = (u * (cubemap.w - 1)).astype(jnp.int32)
+    y = (v * (cubemap.h - 1)).astype(jnp.int32)
+    return (face * cubemap.h + y) * cubemap.w + x
+
+
+def unpack_texels(packed) -> Vec3:
+    """uint32 0x00RRGGBB texels -> RGB Vec3 in [0, 1]."""
+    return _unpack(packed)
+
+
+SPARSE_BLOCK = 128  # one lane row; padded megakernel planes always divide
+
+
+def sparse_sky_lookup(
+    cubemap: CubemapData,
+    flat,
+    need,
+    cache_flat=None,
+    cache_packed=None,
+    cache_valid=None,
+    budget: int | None = None,
+):
+    """EXACT nearest-texel lookup for `need` pixels, cost-compacted.
+
+    XLA's TPU gather costs ~9ns/index (~1ms floor) regardless of table
+    residency (measured on v5e) — the whole-frame skybox gather dominates a
+    megakernel render. But across Monte-Carlo samples at a fixed camera,
+    most sky lookups repeat: primary misses (no pixel jitter => same
+    direction every sample) and pure-specular chains produce the SAME flat
+    index each sample. This helper gathers only indices that changed:
+
+      reuse:  cache_valid & (flat == cache_flat)  -> cached texel. Equality
+              of the flat index implies equality of the texel, so reuse is
+              exact by construction, not an approximation.
+      fresh:  BLOCK-compacted gather — jnp.nonzero over per-128-pixel-block
+              "any fresh" flags (a whole-frame nonzero costs 20+ms on TPU;
+              over blocks it is ~1.7ms), then 1-D gathers/scatter over the
+              selected blocks' pixels. Fresh pixels cluster spatially
+              (object silhouettes), so block granularity over-gathers only
+              ~2x. Two static budget tiers + full-gather fallback via
+              lax.cond: exactness never depends on the budget guess, the
+              budget only caps the compacted pipelines' static cost.
+              (A 2-D row scatter would be the natural form, but it crashes
+              the TPU fusion emitter — kSublaneGather check — so every
+              gather/scatter here is 1-D with computed pixel positions.)
+
+    Returns a uint32 texel plane (zeros where ~need). Only valid for
+    packed (8-bit) cubemaps.
+    """
+    assert cubemap.packed is not None, "sparse lookup needs a packed cubemap"
+    size = flat.size
+    shape = flat.shape
+    flat = flat.ravel()
+    need = need.ravel()
+
+    if cache_flat is None:
+        reuse = jnp.zeros_like(need)
+        cache_packed = jnp.uint32(0)
+    else:
+        reuse = cache_valid.ravel() & (flat == cache_flat.ravel())
+    fresh_need = need & ~reuse
+
+    def full(_):
+        return jnp.where(fresh_need, jnp.take(cubemap.packed, flat), jnp.uint32(0))
+
+    if size % SPARSE_BLOCK:
+        fresh = full(None)
+    else:
+        nb = size // SPARSE_BLOCK
+        fb = jnp.any(fresh_need.reshape(nb, SPARSE_BLOCK), axis=1)
+        count = jnp.sum(fb)
+        if budget is None:
+            budget = max(nb // 8, 256)
+        tiers = sorted({max(min(budget // 4, nb), 1), max(min(budget, nb), 1)})
+
+        def compacted(bb):
+            def run(_):
+                pos_b = jnp.nonzero(fb, size=bb, fill_value=nb)[0]
+                pos = (
+                    pos_b[:, None] * SPARSE_BLOCK
+                    + jax.lax.broadcasted_iota(jnp.int32, (bb, SPARSE_BLOCK), 1)
+                ).ravel()
+                fl = jnp.take(flat, pos, mode="clip")
+                tex = jnp.take(cubemap.packed, fl)
+                return (
+                    jnp.zeros((size,), jnp.uint32).at[pos].set(tex, mode="drop")
+                )
+            return run
+
+        fresh = jax.lax.cond(
+            count <= tiers[0],
+            compacted(tiers[0]),
+            lambda _: jax.lax.cond(
+                count <= tiers[-1], compacted(tiers[-1]), full, None
+            ),
+            None,
+        )
+
+    out = jnp.where(need, jnp.where(reuse, cache_packed if jnp.ndim(cache_packed) == 0 else cache_packed.ravel(), fresh), jnp.uint32(0))
+    return out.reshape(shape)
+
+
 def constant_sky(color=(0.0, 0.0, 0.0)) -> CubemapData:
     """1x1 uniform-color cubemap — the 'no skybox' mode the reference shows
     only as commented-out code (src/main.c:166-169). Gather-free sampling."""

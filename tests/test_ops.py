@@ -344,3 +344,47 @@ def test_camera_move_rotate():
     # pitch clamps at +/-89 (src/camera.c:65-66)
     rot = cam_mod.rotate(cam, 0.0, 10000.0)
     assert float(rot.pitch) == pytest.approx(89.0)
+
+
+def test_sparse_sky_lookup_exact():
+    """Block-compacted sparse sky lookup must equal the full masked gather
+    bit-for-bit — under budget (compacted tiers) and over budget (full
+    fallback), with and without a cache."""
+    import numpy as np
+
+    from ray_tracing_tpu.ops.cubemap import (
+        CubemapData, SPARSE_BLOCK, sparse_sky_lookup,
+    )
+
+    rng = np.random.default_rng(3)
+    faces = rng.integers(0, 256, (6, 8, 8, 3), dtype=np.uint8)
+    cm = CubemapData.from_faces(faces)
+    n = 6 * 8 * 8
+    size = 8 * SPARSE_BLOCK
+
+    for live_frac, budget in [(0.02, 4), (0.5, 2), (0.9, 1)]:
+        flat = jnp.asarray(rng.integers(0, n, size), jnp.int32).reshape(8, SPARSE_BLOCK)
+        need = jnp.asarray(rng.random(size) < live_frac).reshape(8, SPARSE_BLOCK)
+        cache_flat = jnp.where(
+            jnp.asarray(rng.random(size) < 0.5).reshape(8, SPARSE_BLOCK), flat, -1
+        )
+        cache_valid = jnp.asarray(rng.random(size) < 0.7).reshape(8, SPARSE_BLOCK)
+        cache_packed = jnp.take(cm.packed, jnp.clip(cache_flat, 0, n - 1))
+
+        want = jnp.where(need, jnp.take(cm.packed, flat), jnp.uint32(0))
+        got = sparse_sky_lookup(cm, flat, need, budget=budget)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        got_c = sparse_sky_lookup(
+            cm, flat, need, cache_flat, cache_packed, cache_valid, budget
+        )
+        # cached entries agree with the table by construction, so the
+        # result must still equal the full gather
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want))
+
+    # non-multiple-of-block sizes fall back to the full gather
+    flat = jnp.asarray(rng.integers(0, n, 100), jnp.int32)
+    need = jnp.asarray(rng.random(100) < 0.5)
+    want = jnp.where(need, jnp.take(cm.packed, flat), jnp.uint32(0))
+    got = sparse_sky_lookup(cm, flat, need, budget=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
