@@ -35,7 +35,8 @@ import numpy as np
 
 _PAGE = """<!doctype html><title>ray_tracing_tpu</title>
 <body style="background:#111;color:#eee;font-family:monospace">
-<h3>ray_tracing_tpu — live render (WASD move, IJKL look, R reset)</h3>
+<h3>ray_tracing_tpu — live render (WASD move, click image for mouse-look,
+IJKL look, R reset, ESC releases pointer)</h3>
 <img id=v src=/stream style="image-rendering:pixelated;width:640px">
 <div id=s></div>
 <script>
@@ -43,6 +44,18 @@ document.addEventListener('keydown', e => {
   const k = e.key.toLowerCase();
   if ('wasdijkl r'.includes(k)) fetch('/key', {method:'POST', body:k});
 });
+// Continuous mouse-look: raw pointer deltas, exactly the reference's
+// MOVE_MOUSE stream (src/gpu_and_windowing.c:266-269) — batched per
+// animation tick so a fast mouse doesn't flood the event queue.
+const img = document.getElementById('v');
+img.onclick = () => img.requestPointerLock();
+let ax = 0, ay = 0;
+document.addEventListener('mousemove', e => {
+  if (document.pointerLockElement === img) { ax += e.movementX; ay += e.movementY; }
+});
+setInterval(() => {
+  if (ax || ay) { fetch('/look', {method:'POST', body: ax + ' ' + ay}); ax = 0; ay = 0; }
+}, 50);
 setInterval(async () => {
   const h = await (await fetch('/healthz')).json();
   document.getElementById('s').textContent = JSON.stringify(h);
@@ -116,7 +129,18 @@ class RenderService:
         moves = {"w": cam_mod.UP, "s": cam_mod.DOWN, "a": cam_mod.LEFT,
                  "d": cam_mod.RIGHT}
         looks = {"i": (0, 60.0), "k": (0, -60.0), "j": (-60.0, 0), "l": (60.0, 0)}
-        if ev in moves:
+        if ev.startswith("look "):
+            # raw pointer deltas: "look <dx> <dy>" with dy in screen-down
+            # pixels; rotate() wants screen-up (the reference computes
+            # last_y - y, src/camera.c:52), sensitivity 0.1 inside rotate.
+            try:
+                _, dxs, dys = ev.split()
+                dx, dy = float(dxs), -float(dys)
+            except ValueError:
+                return
+            self.camera = cam_mod.rotate(self.camera, dx, dy, self.config)
+            self.invalidate()
+        elif ev in moves:
             self.camera = cam_mod.move(self.camera, moves[ev],
                                        self.config.move_speed, self.config)
             self.invalidate()
@@ -219,9 +243,10 @@ def make_handler(svc: RenderService):
                 self.send_error(404)
 
         def do_POST(self):
-            if self.path == "/key":
+            if self.path in ("/key", "/look"):
                 n = int(self.headers.get("Content-Length", 0))
-                ev = self.rfile.read(n).decode(errors="ignore").strip().lower()
+                body = self.rfile.read(n).decode(errors="ignore").strip().lower()
+                ev = f"look {body}" if self.path == "/look" else body
                 try:
                     svc.events.put_nowait(ev)
                     code = 200

@@ -27,7 +27,7 @@ from ray_tracing_tpu.render.film import Film, progressive_scales, render_pass
 from ray_tracing_tpu.io.image import screenshot
 
 # Event ids (analogous to src/gpu_and_windowing.h:18-33)
-EV_QUIT, EV_W, EV_A, EV_S, EV_D, EV_LOOK, EV_SHOT = range(7)
+EV_QUIT, EV_W, EV_A, EV_S, EV_D, EV_LOOK, EV_SHOT, EV_MOUSE = range(8)
 
 _LOOK_KEYS = {
     "i": (0, 60.0), "k": (0, -60.0), "j": (-60.0, 0), "l": (60.0, 0),
@@ -87,7 +87,17 @@ def poll_events(timeout: float = 0.0):
                 seq = ch[i : j + 1]
                 if seq in _LOOK_KEYS:
                     events.append((EV_LOOK, _LOOK_KEYS[seq]))
-                i = j + 1  # unknown CSI (mouse, modifiers, F5+): swallow
+                elif seq.startswith("\x1b[<") and seq[-1] in "Mm":
+                    # SGR-1006 mouse report "<b;x;y[Mm]" — continuous
+                    # mouse-look (the reference's MOVE_MOUSE stream,
+                    # src/gpu_and_windowing.c:266-269)
+                    try:
+                        b, x, y = (int(t) for t in seq[3:-1].split(";"))
+                        if b & 32:  # motion
+                            events.append((EV_MOUSE, (float(x), float(y))))
+                    except ValueError:
+                        pass
+                i = j + 1  # other CSI (modifiers, F5+): swallow
                 continue
             if nxt == "O":
                 i += 3  # SS3 (F1-F4 etc.): swallow the 3-byte sequence
@@ -208,6 +218,18 @@ class Viewer:
                 dx, dy = arg
                 self.camera = cam_mod.rotate(self.camera, dx, dy, self.config)
                 self.invalidate()
+            elif ev == EV_MOUSE:
+                # continuous mouse-look from absolute positions, with the
+                # reference's first-move skip and y-inversion
+                # (src/camera.c:44-56: x - last_x, last_y - y)
+                x, y = arg
+                last = getattr(self, "_mouse_last", None)
+                self._mouse_last = (x, y)
+                if last is not None:
+                    dx, dy = x - last[0], last[1] - y
+                    if dx or dy:
+                        self.camera = cam_mod.rotate(self.camera, dx, dy, self.config)
+                        self.invalidate()
             elif ev == EV_SHOT:
                 path = screenshot(self.resolve_fn(self.film))
                 print(f"\nTook screenshot! ({path})", file=sys.stderr)
@@ -263,11 +285,19 @@ class NativeEventSource:
             raise RuntimeError("event reader already running")
 
     def poll(self):
+        import ctypes
+
         events = []
         while True:
             ev = self.lib.rt_events_pop()
             if ev == 0:
                 return events
+            if ev == 8:  # EVENT_MOVE_MOUSE: fetch coordinates lazily
+                x = ctypes.c_double()
+                y = ctypes.c_double()
+                self.lib.rt_mouse_pos(ctypes.byref(x), ctypes.byref(y))
+                events.append((EV_MOUSE, (x.value, y.value)))
+                continue
             mapped = _NATIVE_MAP.get(ev)
             if mapped is not None:
                 events.append(mapped)
@@ -304,6 +334,9 @@ def run_interactive(viewer: Viewer, max_frames=None, use_native: bool = True,
                 source = None
     try:
         tty.setcbreak(fd)
+        # any-motion mouse tracking, SGR-1006 encoding: continuous
+        # mouse-look like the reference's GLFW cursor callback
+        viewer.out.write("\x1b[?1003h\x1b[?1006h")
         viewer.out.write("\x1b[2J")  # clear
         running = True
         while running and (max_frames is None or viewer.frame_count < max_frames):
@@ -317,4 +350,4 @@ def run_interactive(viewer: Viewer, max_frames=None, use_native: bool = True,
         if source is not None:
             source.stop()
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
-        viewer.out.write("\x1b[0m\n")
+        viewer.out.write("\x1b[?1003l\x1b[?1006l\x1b[0m\n")

@@ -68,5 +68,11 @@ def lib():
     l.rt_events_stop.restype = None
     l.rt_events_pop.restype = ctypes.c_int
     l.rt_events_inject.argtypes = [ctypes.c_int]
+    l.rt_mouse_pos.restype = None
+    l.rt_mouse_pos.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    l.rt_events_parse.restype = None
+    l.rt_events_parse.argtypes = [ctypes.c_char_p, ctypes.c_long]
     _lib = l
     return _lib

@@ -354,6 +354,9 @@ int rt_write_png(const char* path, int w, int h, const uint8_t* rgb, int flip) {
 enum {
     EVENT_EMPTY = 0, EVENT_CLOSE = 1, EVENT_PRESS_SPACE = 2, EVENT_PRESS_ESC = 3,
     EVENT_PRESS_W = 4, EVENT_PRESS_A = 5, EVENT_PRESS_S = 6, EVENT_PRESS_D = 7,
+    EVENT_MOVE_MOUSE = 8,  // coordinates fetched lazily via rt_mouse_pos,
+                           // like the reference's pop_event out-params
+                           // (src/gpu_and_windowing.c:243-244)
     EVENT_LOOK_UP = 20, EVENT_LOOK_DOWN = 21, EVENT_LOOK_LEFT = 22, EVENT_LOOK_RIGHT = 23,
 };
 
@@ -367,11 +370,55 @@ std::thread reader_thread;
 std::atomic<bool> reader_stop{false};
 int reader_fd = -1;
 
+double mouse_x = 0.0, mouse_y = 0.0;  // latest SGR mouse position (cells)
+
 void push_event(int ev) {
     std::lock_guard<std::mutex> lock(event_mutex);
     if (event_size == MAX_EVENTS) return;  // drop, like src/gpu_and_windowing.c:222-227
     event_queue[(event_head + event_size) % MAX_EVENTS] = ev;
     event_size++;
+}
+
+// Full CSI sequence ending at buf[i+1..]: returns length consumed past the
+// ESC (0 if incomplete). Decodes SGR-1006 mouse reports ("\x1b[<b;x;yM/m",
+// the terminal equivalent of GLFW's cursor callback) into mouse state +
+// EVENT_MOVE_MOUSE, and plain arrows into look events.
+size_t parse_csi(const char* s, size_t len) {
+    // s points at '['; parameter bytes 0x30-0x3F, intermediates 0x20-0x2F,
+    // one final byte 0x40-0x7E
+    size_t j = 1;
+    while (j < len && ((s[j] >= 0x30 && s[j] <= 0x3F) || (s[j] >= 0x20 && s[j] <= 0x2F)))
+        j++;
+    if (j >= len) return 0;  // incomplete: wait for more bytes
+    char fin = s[j];
+    if (j == 1) {  // no parameters: plain arrows
+        switch (fin) {
+            case 'A': push_event(EVENT_LOOK_UP); break;
+            case 'B': push_event(EVENT_LOOK_DOWN); break;
+            case 'C': push_event(EVENT_LOOK_RIGHT); break;
+            case 'D': push_event(EVENT_LOOK_LEFT); break;
+            default: break;
+        }
+        return j + 1;
+    }
+    if (s[1] == '<' && (fin == 'M' || fin == 'm')) {
+        int vals[3] = {0, 0, 0};
+        int vi = 0;
+        for (size_t k = 2; k < j && vi < 3; k++) {
+            if (s[k] == ';') { vi++; continue; }
+            if (s[k] >= '0' && s[k] <= '9') vals[vi] = vals[vi] * 10 + (s[k] - '0');
+        }
+        int b = vals[0];
+        if (b & 32) {  // motion report (any-motion / drag tracking)
+            {
+                std::lock_guard<std::mutex> lock(event_mutex);
+                mouse_x = static_cast<double>(vals[1]);
+                mouse_y = static_cast<double>(vals[2]);
+            }
+            push_event(EVENT_MOVE_MOUSE);
+        }
+    }
+    return j + 1;  // any other parameterized CSI (F5+, modifiers): swallow
 }
 
 void reader_main() {
@@ -402,20 +449,28 @@ void reader_main() {
         pending = 0;
         for (ssize_t i = 0; i < k; i++) {
             char ch = buf[i];
-            if (ch == '\x1b' && (i + 1 >= k || (buf[i + 1] == '[' && i + 2 >= k))) {
+            if (ch == '\x1b' && i + 1 >= k) {
                 // partial sequence at buffer end: carry to the next read
                 pending = static_cast<size_t>(k - i);
                 memmove(buf, buf + i, pending);
                 break;
             }
-            if (ch == '\x1b' && i + 2 < k && buf[i + 1] == '[') {
-                switch (buf[i + 2]) {
-                    case 'A': push_event(EVENT_LOOK_UP); break;
-                    case 'B': push_event(EVENT_LOOK_DOWN); break;
-                    case 'C': push_event(EVENT_LOOK_RIGHT); break;
-                    case 'D': push_event(EVENT_LOOK_LEFT); break;
+            if (ch == '\x1b' && buf[i + 1] == '[') {
+                size_t used = parse_csi(buf + i + 1, static_cast<size_t>(k - i - 1));
+                if (used == 0) {
+                    // incomplete CSI: carry unless it can never fit the buffer
+                    size_t rest = static_cast<size_t>(k - i);
+                    if (rest < sizeof buf) {
+                        pending = rest;
+                        memmove(buf, buf + i, pending);
+                    }
+                    break;
                 }
-                i += 2;
+                i += static_cast<ssize_t>(used);  // +1 more from the loop
+                continue;
+            }
+            if (ch == '\x1b' && buf[i + 1] == 'O' && i + 2 < k) {
+                i += 2;  // SS3 (F1-F4): swallow
                 continue;
             }
             switch (tolower(static_cast<unsigned char>(ch))) {
@@ -468,5 +523,38 @@ int rt_events_pop() {
 
 // Test hook: inject an event as if typed.
 void rt_events_inject(int ev) { push_event(ev); }
+
+// Latest SGR mouse position, fetched lazily after EVENT_MOVE_MOUSE — the
+// reference's pop_event out-params (src/gpu_and_windowing.c:243-244).
+void rt_mouse_pos(double* x, double* y) {
+    std::lock_guard<std::mutex> lock(event_mutex);
+    *x = mouse_x;
+    *y = mouse_y;
+}
+
+// Test hook: feed raw bytes through the same CSI parser the reader uses.
+void rt_events_parse(const char* bytes, long len) {
+    for (long i = 0; i < len; i++) {
+        char ch = bytes[i];
+        if (ch == '\x1b' && i + 1 < len && bytes[i + 1] == '[') {
+            size_t used = parse_csi(bytes + i + 1, static_cast<size_t>(len - i - 1));
+            if (used == 0) return;
+            i += static_cast<long>(used);
+            continue;
+        }
+        switch (tolower(static_cast<unsigned char>(ch))) {
+            case 'w': push_event(EVENT_PRESS_W); break;
+            case 'a': push_event(EVENT_PRESS_A); break;
+            case 's': push_event(EVENT_PRESS_S); break;
+            case 'd': push_event(EVENT_PRESS_D); break;
+            case ' ': push_event(EVENT_PRESS_SPACE); break;
+            case 'q': case '\x1b': push_event(EVENT_PRESS_ESC); break;
+            case 'i': push_event(EVENT_LOOK_UP); break;
+            case 'k': push_event(EVENT_LOOK_DOWN); break;
+            case 'j': push_event(EVENT_LOOK_LEFT); break;
+            case 'l': push_event(EVENT_LOOK_RIGHT); break;
+        }
+    }
+}
 
 }  // extern "C"

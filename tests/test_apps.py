@@ -194,3 +194,60 @@ def test_run_interactive_pty(tmp_path):
     assert b"VIEWER-DONE" in err
     assert b"\x1b[38;2;" in out  # painted pixels
     assert b"Took screenshot" in err
+
+
+def test_viewer_mouse_look_events():
+    """EV_MOUSE absolute positions drive continuous mouse-look with the
+    reference's first-move skip, y-inversion, and 0.1 sensitivity
+    (src/camera.c:42-78)."""
+    import numpy as np
+
+    from ray_tracing_tpu.apps.viewer import EV_MOUSE, Viewer
+    from ray_tracing_tpu.config import RenderConfig
+    from ray_tracing_tpu.render.camera import Camera
+    from ray_tracing_tpu.scene.parser import parse_scene_string
+
+    scene = parse_scene_string("sphere center {0 0 0} radius 1\n")
+    cfg = RenderConfig(bounces=1, shadow_samples=1)
+    v = Viewer(scene, Camera.default(), 16, 8, cfg,
+               render_fn=lambda s, c, f, k, sc: f)
+    yaw0, pitch0 = float(v.camera.yaw), float(v.camera.pitch)
+
+    # first event only seeds last-position (first_mouse, src/camera.c:44-50)
+    assert v.handle_events([(EV_MOUSE, (100.0, 50.0))])
+    assert float(v.camera.yaw) == yaw0 and float(v.camera.pitch) == pitch0
+    # +30 px right, +10 px down -> yaw += 3.0, pitch -= 1.0
+    assert v.handle_events([(EV_MOUSE, (130.0, 60.0))])
+    assert float(v.camera.yaw) == pytest.approx(yaw0 + 3.0)
+    assert float(v.camera.pitch) == pytest.approx(pitch0 - 1.0)
+    # front re-derived from yaw/pitch
+    import math
+    yr, pr = math.radians(yaw0 + 3.0), math.radians(pitch0 - 1.0)
+    np.testing.assert_allclose(
+        np.asarray(v.camera.front),
+        [math.cos(yr) * math.cos(pr), math.sin(pr), math.sin(yr) * math.cos(pr)],
+        atol=1e-6,
+    )
+
+
+def test_poll_events_parses_sgr_mouse(monkeypatch):
+    """The Python fallback parser decodes SGR mouse motion reports."""
+    import os as _os
+
+    from ray_tracing_tpu.apps import viewer as vmod
+
+    r, w = _os.pipe()
+    _os.write(w, b"\x1b[<35;20;10M\x1b[<35;25;12Mw")
+    _os.close(w)
+
+    class FakeStdin:
+        def fileno(self):
+            return r
+
+    monkeypatch.setattr(vmod.sys, "stdin", FakeStdin())
+    vmod._pending = ""
+    events = vmod.poll_events(timeout=0.2)
+    _os.close(r)
+    assert (vmod.EV_MOUSE, (20.0, 10.0)) in events
+    assert (vmod.EV_MOUSE, (25.0, 12.0)) in events
+    assert (vmod.EV_W, None) in events

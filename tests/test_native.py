@@ -120,3 +120,29 @@ def test_native_event_reader_thread(lib):
     os.close(r)
     EVENT_PRESS_W, EVENT_PRESS_D, EVENT_PRESS_ESC = 4, 7, 3
     assert got == [EVENT_PRESS_W, EVENT_PRESS_D, EVENT_PRESS_ESC]
+
+
+def test_native_sgr_mouse_parse(lib):
+    """SGR-1006 mouse motion reports -> EVENT_MOVE_MOUSE with lazily
+    fetched coordinates (the reference's MOVE_MOUSE + pop_event out-params,
+    src/gpu_and_windowing.c:243-244, 266-269)."""
+    import ctypes
+
+    lib.rt_events_stop()
+    while lib.rt_events_pop() != 0:
+        pass
+    data = b"\x1b[<35;100;50M\x1b[<35;110;45Mw\x1b[<0;5;5M"
+    lib.rt_events_parse(data, len(data))
+    assert lib.rt_events_pop() == 8   # motion
+    assert lib.rt_events_pop() == 8   # motion
+    assert lib.rt_events_pop() == 4   # 'w'
+    assert lib.rt_events_pop() == 0   # press (b=0, no motion bit) ignored
+    x = ctypes.c_double()
+    y = ctypes.c_double()
+    lib.rt_mouse_pos(ctypes.byref(x), ctypes.byref(y))
+    assert (x.value, y.value) == (110.0, 45.0)
+    # arrows still work through the general CSI path
+    data = b"\x1b[A\x1b[D"
+    lib.rt_events_parse(data, len(data))
+    assert lib.rt_events_pop() == 20
+    assert lib.rt_events_pop() == 22

@@ -95,3 +95,19 @@ def test_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         get(base + "/nope")
     assert e.value.code == 404
+
+
+def test_mouse_look_endpoint(server):
+    """POST /look carries raw pointer deltas -> continuous rotate()."""
+    import urllib.request
+
+    base, svc = server
+    yaw0 = float(svc.camera.yaw)
+    req = urllib.request.Request(f"{base}/look", data=b"30 -10", method="POST")
+    assert urllib.request.urlopen(req).status == 200
+    deadline = time.time() + 5
+    while time.time() < deadline and float(svc.camera.yaw) == yaw0:
+        time.sleep(0.05)
+    # dx=30 -> yaw += 3.0; dy=-10 (up) -> pitch += 1.0
+    assert float(svc.camera.yaw) == pytest.approx(yaw0 + 3.0)
+    assert float(svc.camera.pitch) == pytest.approx(1.0)
