@@ -43,7 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ray_tracing_tpu.config import RenderConfig, DEFAULT_CONFIG
 from ray_tracing_tpu.ops.cubemap import CubemapData, constant_sky, sample_cubemap
-from ray_tracing_tpu.ops.intersect import UNROLL_LIMIT, trace, trace_shadow
+from ray_tracing_tpu.ops.intersect import (
+    UNROLL_LIMIT,
+    ShadowRecord,
+    TraceRecord,
+    trace,
+    trace_record,
+    trace_replay,
+    trace_shadow,
+    trace_shadow_record,
+    trace_shadow_replay,
+)
 from ray_tracing_tpu.ops.vec import Vec3, fresnel_schlick
 from ray_tracing_tpu.render.camera import Camera, screen_height
 from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene
@@ -62,8 +72,14 @@ DEFAULT_TILE_W = 256
 
 def default_tiles(scene: Scene, config: RenderConfig):
     """Complexity-scaled tile shape shared by fwd and bwd kernels."""
-    if scene.num_objects > UNROLL_LIMIT:  # fori path: small residuals
-        return DEFAULT_TILE_H, DEFAULT_TILE_W
+    if scene.num_objects > UNROLL_LIMIT:
+        # fori trace; the path-replay backward stores per-bounce winner
+        # records (~bounces x (17 + 5*shadow_samples) planes) in VMEM, so
+        # heavy physics gets a smaller tile
+        eff = config.bounces * (
+            1 + (config.shadow_samples if scene.has_light else 0)
+        )
+        return (DEFAULT_TILE_H, DEFAULT_TILE_W) if eff <= 12 else (8, 256)
     eff = scene.num_objects * (
         1 + (config.shadow_samples if scene.has_light else 0)
     )
@@ -269,9 +285,85 @@ def camera_rays_from_pack(cam, u, v, shape):
     return ro, rd
 
 
-def tile_physics(scene: SceneView, cam, u, v, draws, config: RenderConfig, shape):
+class DirectTracer:
+    """Default tracer: closest-hit against the live scene (SceneView or
+    Scene). tile_physics goes through a tracer so the path-replay backward
+    can substitute recorded winners (RecordingTracer / ReplayTracer)."""
+
+    def __init__(self, scene):
+        self.scene = scene
+        self.has_light = scene.has_light
+
+    def trace(self, ro, rd):
+        return trace(self.scene, ro, rd)
+
+    def trace_shadow(self, ro, rd):
+        return trace_shadow(self.scene, ro, rd)
+
+    def light_origin(self):
+        return self.scene.origin_of(self.scene.light_index)
+
+
+class RecordingTracer(DirectTracer):
+    """Pass 1 of path replay: trace against the scene (non-differentiable
+    fori loop in-kernel) while recording each call's winner planes in call
+    order."""
+
+    def __init__(self, scene):
+        super().__init__(scene)
+        self.records = []
+
+    def trace(self, ro, rd):
+        h, rec = trace_record(self.scene, ro, rd)
+        self.records.append(rec)
+        return h
+
+    def trace_shadow(self, ro, rd):
+        out, rec = trace_shadow_record(self.scene, ro, rd)
+        self.records.append(rec)
+        return out
+
+
+class ReplayTracer:
+    """Pass 2 of path replay: a loop-free differentiable stand-in. Pops
+    the recorded winner planes in the SAME call order tile_physics makes
+    its trace calls, recomputing each Hit from them (trace_replay). The
+    light's geometry leaves come in explicitly so origin_of stays
+    differentiable."""
+
+    def __init__(self, records, has_light, light_geom=None,
+                 light_is_sphere=False):
+        self._records = list(records)
+        self._i = 0
+        self.has_light = has_light
+        self._light_geom = light_geom  # (p0 Vec3, p1 Vec3) scalar leaves
+        self._light_is_sphere = light_is_sphere
+
+    def _next(self):
+        rec = self._records[self._i]
+        self._i += 1
+        return rec
+
+    def trace(self, ro, rd):
+        return trace_replay(self._next(), ro, rd)
+
+    def trace_shadow(self, ro, rd):
+        del ro, rd  # occlusion is detached; emission is the recorded leaf
+        return trace_shadow_replay(self._next())
+
+    def light_origin(self):
+        p0, p1 = self._light_geom
+        if self._light_is_sphere:
+            return p0
+        return p0 + p1 * 0.5
+
+
+def tile_physics(scene: SceneView, cam, u, v, draws, config: RenderConfig,
+                 shape, tracer=None):
     """Full per-tile estimator (src/main.c:131-272). Returns 10 planes:
     (r, g, b, sky_x, sky_y, sky_z, skc_r, skc_g, skc_b, miss_f32)."""
+    if tracer is None:
+        tracer = DirectTracer(scene)
     ro, rd = camera_rays_from_pack(cam, u, v, shape)
 
     contrib = Vec3.full(shape, 1.0)
@@ -282,12 +374,13 @@ def tile_physics(scene: SceneView, cam, u, v, draws, config: RenderConfig, shape
     sky_contrib = Vec3.zeros(shape)
     died_miss = u < -1e30
 
-    if scene.has_light:
-        light_origin = scene.origin_of(scene.light_index)
+    has_light = tracer.has_light
+    if has_light:
+        light_origin = tracer.light_origin()
 
     for b in range(config.bounces):
         d = rd.normalize()
-        h = trace(scene, ro, rd)
+        h = tracer.trace(ro, rd)
 
         # miss: remember direction + throughput for the deferred sky gather
         miss_now = alive & ~h.hit
@@ -297,13 +390,13 @@ def tile_physics(scene: SceneView, cam, u, v, draws, config: RenderConfig, shape
         active = alive & h.hit
 
         # next-event light sampling (src/main.c:180-210)
-        if scene.has_light:
+        if has_light:
             rand_dirs = draws.shadow(b)  # Vec3 of (ns, *shape)
             accept = rand_dirs.dot(h.normal) > 0
             to_light = light_origin - h.point
             sample_dir = (rand_dirs * config.shadow_spread + to_light).normalize()
             sample_ro = h.point + sample_dir * config.hit_offset
-            hit2, emit2 = trace_shadow(scene, sample_ro, sample_dir)
+            hit2, emit2 = tracer.trace_shadow(sample_ro, sample_dir)
             take = accept & hit2
             shadow_sum = Vec3(
                 jnp.sum(jnp.where(take, emit2.x, 0.0), axis=0),
@@ -484,6 +577,155 @@ def _bwd_kernel(
         grad_cam_ref[...] += g_cam
 
 
+def _route_record_grads(n: int, records, g_records):
+    """Path-replay gradient routing: per-object (N, 16) row gradients from
+    per-pixel winner-plane cotangents.
+
+        G[i, c] = sum over {records r, pixels p : r.obj[p] == i} g_r[c][p]
+
+    Expressed as one-hot matmuls so it runs on the MXU inside the Pallas
+    backward kernel (a per-object fori of masked reductions would be ~50x
+    more VPU work at N=201; dynamic row stores exist but the matmul is the
+    TPU-idiomatic segment-sum). precision=HIGHEST — the default bf16
+    passes round gradient sums at ~1e-3 relative. obj == -1 (miss) matches
+    no one-hot row and so contributes nothing, exactly like the
+    where-select trace whose non-winners get zero gradient."""
+    G = jnp.zeros((n, SCENE_COLS), jnp.float32)
+
+    def add(G, obj2d, cols):
+        p = obj2d.size
+        o = obj2d.reshape(1, p)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, p), 0) == o
+        ).astype(jnp.float32)
+        zeros = jnp.zeros(obj2d.shape, jnp.float32)
+        gmat = jnp.concatenate(
+            [(c if c is not None else zeros).reshape(1, p) for c in cols],
+            axis=0,
+        )  # (16, P)
+        return G + jax.lax.dot_general(
+            onehot, gmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    for rec, g in zip(records, g_records):
+        if isinstance(rec, TraceRecord):
+            cols = [
+                g.p0.x, g.p0.y, g.p0.z, g.p1.x, g.p1.y, g.p1.z,
+                g.albedo.x, g.albedo.y, g.albedo.z,
+                g.roughness, g.reflectance, g.metallic,
+                g.emission.x, g.emission.y, g.emission.z, None,
+            ]
+            G = add(G, rec.obj, cols)
+        else:  # ShadowRecord: (ns, th, tw) batch; only emission carries grad
+            ns = rec.obj.shape[0]
+            for k in range(ns):
+                cols = [None] * 12 + [
+                    g.emission.x[k], g.emission.y[k], g.emission.z[k], None,
+                ]
+                G = add(G, rec.obj[k], cols)
+    return G
+
+
+def _bwd_kernel_replay(
+    scene_ref,   # SMEM (N, 16) — NOT differentiated directly (path replay)
+    cam_ref,     # VMEM (1, 16) — differentiable input
+    scalars_ref,  # SMEM (2,) int32: [seed, row0]
+    *rest,       # 10 cotangent refs, then grad_scene_ref, grad_cam_ref
+    obj_type,
+    light_index,
+    config,
+    width,
+    height,
+    norm_height,
+    tile_h,
+    tile_w,
+):
+    """Large-scene backward: PATH REPLAY. The fori-loop trace cannot be
+    reverse-differentiated (Mosaic has no reverse while_loop), so:
+
+      pass 1: run tile_physics with the fori trace, RECORDING each trace
+              call's winner planes (non-differentiable);
+      pass 2: jax.vjp over tile_physics with a ReplayTracer — a loop-free
+              function of the records + camera + light geometry whose
+              gradients match autodiff of the running-min trace (verified
+              against the XLA scan path, tests/test_megakernel.py);
+      route:  one-hot matmuls turn per-pixel winner cotangents into (N,16)
+              row gradients, accumulated across the sequential grid.
+    """
+    g_refs = rest[:10]
+    grad_scene_ref, grad_cam_ref = rest[10], rest[11]
+
+    _seed_tile(scalars_ref[0])
+    i, j = pl.program_id(0), pl.program_id(1)
+    u, v = _tile_uv(i, j, tile_h, tile_w, width, norm_height, scalars_ref[1])
+    if config.pixel_jitter:
+        # same stream position as the forward's jitter draws
+        u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(height - 1, 1)
+
+    draws = PrecomputedDraws((tile_h, tile_w), config, light_index >= 0)
+    view = SceneView(scene_ref, obj_type, light_index)
+    cam_arr = cam_ref[...]  # (1, 16) value
+
+    # pass 1: record winners along the exact forward paths
+    recorder = RecordingTracer(view)
+    tile_physics(view, cam_arr[0], u, v, draws, config, (tile_h, tile_w),
+                 tracer=recorder)
+    records = recorder.records
+
+    has_light = light_index >= 0
+    if has_light:
+        li = light_index
+        light_geom = (
+            Vec3(scene_ref[li, 0], scene_ref[li, 1], scene_ref[li, 2]),
+            Vec3(scene_ref[li, 3], scene_ref[li, 4], scene_ref[li, 5]),
+        )
+        light_is_sphere = obj_type[li] == OBJ_SPHERE
+    else:
+        light_geom = None
+        light_is_sphere = False
+
+    def f(records, cam_arr, light_geom):
+        tracer = ReplayTracer(records, has_light, light_geom, light_is_sphere)
+        return tile_physics(None, cam_arr[0], u, v, draws, config,
+                            (tile_h, tile_w), tracer=tracer)
+
+    _, vjpf = jax.vjp(f, records, cam_arr, light_geom)
+    cotangents = tuple(ref[...] for ref in g_refs)
+    g_records, g_cam, g_light = vjpf(cotangents)
+
+    n = len(obj_type)
+    G = _route_record_grads(n, records, g_records)
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        grad_scene_ref[...] = G
+        grad_cam_ref[...] = g_cam
+
+    @pl.when(~first)
+    def _():
+        grad_scene_ref[...] += G
+        grad_cam_ref[...] += g_cam
+
+    if has_light:
+        # origin_of(light) gradients land on the light's own row (static
+        # index => static ref slice store)
+        gp0, gp1 = g_light
+        row = jnp.concatenate(
+            [
+                gp0.x.reshape(1, 1), gp0.y.reshape(1, 1), gp0.z.reshape(1, 1),
+                gp1.x.reshape(1, 1), gp1.y.reshape(1, 1), gp1.z.reshape(1, 1),
+            ]
+            + [jnp.zeros((1, 1), jnp.float32)] * 10,
+            axis=1,
+        )
+        grad_scene_ref[li:li + 1, :] += row
+
+
 # ---------------------------------------------------------------------------
 # custom_vjp core
 # ---------------------------------------------------------------------------
@@ -533,31 +775,38 @@ def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False):
 def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta):
     (obj_type, light_index, config, width, height, norm_height, tile_h, tile_w) = meta
     n = len(obj_type)
-    if n > UNROLL_LIMIT:
-        raise NotImplementedError(
-            f"Pallas backward supports up to {UNROLL_LIMIT} objects (the "
-            "large-scene trace is a fori_loop, which reverse-mode cannot "
-            "cross); differentiate render_image (the XLA integrator) for "
-            "larger scenes."
-        )
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
     # SAME tiling as the forward — the per-tile seeds and in-tile draw
     # order define the streams the backward re-materializes.
     grid = (hp // tile_h, wp // tile_w)
 
-    kernel = functools.partial(
-        _bwd_kernel,
-        obj_type=obj_type, light_index=light_index, config=config,
-        width=width, height=height, norm_height=norm_height,
-        tile_h=tile_h, tile_w=tile_w,
-    )
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     whole = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    if n > UNROLL_LIMIT:
+        # path-replay backward: scene stays in SMEM (the recording pass
+        # reads it scalar-by-scalar inside the fori trace, like the fwd)
+        kernel = functools.partial(
+            _bwd_kernel_replay,
+            obj_type=obj_type, light_index=light_index, config=config,
+            width=width, height=height, norm_height=norm_height,
+            tile_h=tile_h, tile_w=tile_w,
+        )
+        scene_spec = _scene_spec(n)
+    else:
+        kernel = functools.partial(
+            _bwd_kernel,
+            obj_type=obj_type, light_index=light_index, config=config,
+            width=width, height=height, norm_height=norm_height,
+            tile_h=tile_h, tile_w=tile_w,
+        )
+        scene_spec = whole((n, SCENE_COLS))  # VMEM value for jax.vjp
+
     g_scene, g_cam = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            whole((n, SCENE_COLS)),                    # scene (VMEM value)
+            scene_spec,
             whole((1, SCENE_COLS)),                    # cam pack (VMEM value)
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seed
         ]

@@ -190,11 +190,36 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
     )
 
 
-def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TraceRecord:
+    """Per-pixel WINNER data recorded by a non-differentiable trace pass,
+    sufficient to recompute the Hit differentiably (trace_replay) and to
+    route gradients back to object rows (path replay — the large-scene
+    Pallas backward, kernels/megakernel.py). Masks are float 0/1 so the
+    record survives Mosaic fori carries."""
+
+    obj: jax.Array      # int32 winner index; -1 on miss
+    hit: jax.Array      # f32 0/1
+    is_sph: jax.Array   # f32 0/1
+    p0: Vec3            # winner row cols 0-2 (center / box origin)
+    p1: Vec3            # winner row cols 3-5 (radius* / box size)
+    albedo: Vec3
+    roughness: jax.Array
+    reflectance: jax.Array
+    metallic: jax.Array
+    emission: Vec3
+
+
+def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool,
+                record: bool = False):
     """Large-scene closest hit: lax.scan over packed object rows. The body
     computes BOTH primitive tests and selects by the (traced) type tag —
     2x the arithmetic of the specialized loop per object, but compile time
-    and code size are independent of the object count."""
+    and code size are independent of the object count.
+
+    record=True additionally returns the TraceRecord of winner parameters
+    (adds a p1 carry)."""
     d = rd.normalize()
     a = d.dot(d)
     shape = jnp.broadcast_shapes(ro.shape, d.shape)
@@ -205,7 +230,7 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
 
     def update(carry, get, i):
         """One object's running-min update; `get(c)` reads the row scalar."""
-        (t_best, obj_best, sphere_win, center_best, cube_n_best,
+        (t_best, obj_best, sphere_win, center_best, p1_best, cube_n_best,
          albedo_best, rough_best, refl_best, metal_best, emiss_best) = carry
 
         is_sph = get(15) == float(OBJ_SPHERE)
@@ -221,6 +246,10 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
         # float 0/1 mask: Mosaic cannot carry bool arrays through fori_loop
         sphere_win = jnp.where(win, jnp.where(is_sph, 1.0, 0.0), sphere_win)
         center_best = Vec3.where(win, center.broadcast_to(shape), center_best)
+        if record:
+            p1_best = Vec3.where(
+                win, Vec3(get(3), get(4), get(5)).broadcast_to(shape), p1_best
+            )
         cube_n_best = Vec3.where(win & ~is_sph, n_c, cube_n_best)
         if want_material:
             albedo_best = Vec3.where(
@@ -232,7 +261,7 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
         emiss_best = Vec3.where(
             win, Vec3(get(12), get(13), get(14)).broadcast_to(shape), emiss_best
         )
-        return (t_best, obj_best, sphere_win, center_best, cube_n_best,
+        return (t_best, obj_best, sphere_win, center_best, p1_best, cube_n_best,
                 albedo_best, rough_best, refl_best, metal_best, emiss_best)
 
     zeros = jnp.zeros(shape, d.dtype)
@@ -240,6 +269,7 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
         jnp.full(shape, BIG, d.dtype),
         jnp.full(shape, -1, jnp.int32),
         zeros,  # sphere_win as float 0/1 (bool carries don't lower)
+        Vec3.zeros(shape),
         Vec3.zeros(shape),
         Vec3.zeros(shape),
         Vec3.zeros(shape),
@@ -252,8 +282,8 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
     if in_kernel:
         # Pallas: fori_loop with dynamic SMEM scalar reads (Mosaic can't
         # lower scans with extensive inputs or dynamic_slice on values).
-        # Forward-only — reverse-mode can't cross a while_loop; large-scene
-        # training uses the XLA integrator.
+        # Forward-only — the Pallas backward records winners here and
+        # differentiates the REPLAY (trace_replay), not this loop.
         final = jax.lax.fori_loop(
             0, scene.num_objects,
             lambda i, c: update(c, lambda col: rows[i, col], i),
@@ -267,7 +297,7 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
             init,
             (rows, idx),
         )
-    (t_best, obj_best, sphere_win, center_best, cube_n_best,
+    (t_best, obj_best, sphere_win, center_best, p1_best, cube_n_best,
      albedo_best, rough_best, refl_best, metal_best, emiss_best) = final
 
     hit = t_best < HIT_THRESHOLD
@@ -276,11 +306,94 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool) -> Hit:
     sphere_n = (point - center_best).normalize()
     normal = Vec3.where(sphere_win > 0.5, sphere_n, cube_n_best)
 
-    return Hit(
+    h = Hit(
         t=t_best, hit=hit, obj=obj_best, point=point, normal=normal,
         albedo=albedo_best, roughness=rough_best, reflectance=refl_best,
         metallic=metal_best, emission=emiss_best,
     )
+    if not record:
+        return h
+    rec = TraceRecord(
+        obj=obj_best,
+        hit=hit.astype(d.x.dtype),
+        is_sph=sphere_win,
+        p0=center_best,
+        p1=p1_best,
+        albedo=albedo_best,
+        roughness=rough_best,
+        reflectance=refl_best,
+        metallic=metal_best,
+        emission=emiss_best,
+    )
+    return h, rec
+
+
+def trace_record(scene, ro: Vec3, rd: Vec3):
+    """Non-differentiable closest hit that ALSO returns the winner record
+    for path replay. Works for any object count (always the packed-row
+    loop) and inside Pallas kernels (SceneView.in_kernel)."""
+    return _trace_scan(scene, ro, rd, want_material=True, record=True)
+
+
+def trace_replay(rec: TraceRecord, ro: Vec3, rd: Vec3) -> Hit:
+    """Differentiable Hit recomputed from recorded winner parameters.
+
+    Winner CHOICE (rec.obj / rec.hit / rec.is_sph) is detached path
+    topology; every continuous quantity (t, point, normal, materials) is
+    recomputed from the winner's parameter planes, so reverse mode sees a
+    loop-free function and d(Hit)/d(winner params) equals what autodiff of
+    the full running-min trace produces (the non-winner branches of a
+    where-select carry zero gradient anyway)."""
+    d = rd.normalize()
+    a = d.dot(d)
+    shape = jnp.broadcast_shapes(ro.shape, d.shape)
+    ro = ro.broadcast_to(shape)
+
+    hit = rec.hit > 0.5
+    is_sph = rec.is_sph > 0.5
+
+    t_s = intersect_sphere(ro, d, a, rec.p0, rec.p1.x)
+    t_c, n_c = intersect_cube(ro, d, rec.p0, rec.p0 + rec.p1)
+    t = jnp.where(is_sph, t_s, t_c)
+    t = jnp.where(hit, t, BIG)  # miss pixels carry init-zero params: mask
+
+    t_pt = jnp.where(hit, t, 0.0)
+    point = ro + d * t_pt
+    sphere_n = (point - rec.p0).normalize()
+    normal = Vec3.where(is_sph, sphere_n, n_c)
+
+    return Hit(
+        t=t, hit=hit, obj=rec.obj, point=point, normal=normal,
+        albedo=rec.albedo, roughness=rec.roughness,
+        reflectance=rec.reflectance, metallic=rec.metallic,
+        emission=rec.emission,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShadowRecord:
+    """Winner data of a shadow trace: occlusion mask (detached) + the
+    nearest object's emission (the only shadow quantity gradients flow
+    through — winner choice is detached in the direct path too)."""
+
+    obj: jax.Array    # int32 winner; -1 on miss
+    hit: jax.Array    # f32 0/1
+    emission: Vec3
+
+
+def trace_shadow_record(scene, ro: Vec3, rd: Vec3):
+    """trace_shadow + ShadowRecord (for path replay)."""
+    h, rec = _trace_scan(scene, ro, rd, want_material=False, record=True)
+    return (h.hit, h.emission), ShadowRecord(
+        obj=rec.obj, hit=rec.hit, emission=rec.emission
+    )
+
+
+def trace_shadow_replay(rec: ShadowRecord):
+    """Differentiable (hit, emission) from a ShadowRecord: emission is the
+    leaf; the occlusion bit is detached."""
+    return rec.hit > 0.5, rec.emission
 
 
 def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):

@@ -177,34 +177,99 @@ def render_rays(
     return result
 
 
+def _soft_slab_coverage(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3, temp):
+    """Smooth AABB coverage along a ray: sigmoid of the slab overlap margin
+    (far - near, negative on miss) normalized by the box's mean extent.
+    Axis-parallel rays take the non-degenerate select branch so gradients
+    stay NaN-free (same guard rationale as intersect_cube's slab_t)."""
+    def axis(lo_c, hi_c, ro_c, d_c):
+        zero = d_c == 0.0
+        safe = jnp.where(zero, 1.0, d_c)
+        ta = (lo_c - ro_c) / safe
+        tb = (hi_c - ro_c) / safe
+        tmin = jnp.minimum(ta, tb)
+        tmax = jnp.maximum(ta, tb)
+        inside = (ro_c > lo_c) & (ro_c < hi_c)
+        from ray_tracing_tpu.ops.intersect import BIG
+
+        tmin = jnp.where(zero, jnp.where(inside, -BIG, BIG), tmin)
+        tmax = jnp.where(zero, jnp.where(inside, BIG, -BIG), tmax)
+        return tmin, tmax
+
+    nx, xx = axis(lo.x, hi.x, ro.x, d.x)
+    ny, xy = axis(lo.y, hi.y, ro.y, d.y)
+    nz, xz = axis(lo.z, hi.z, ro.z, d.z)
+    near = jnp.maximum(jnp.maximum(nx, ny), nz)
+    far = jnp.minimum(jnp.minimum(xx, xy), xz)
+    # behind-the-camera part doesn't count as coverage
+    margin = far - jnp.maximum(near, 0.0)
+    size = jnp.maximum((hi.x - lo.x + hi.y - lo.y + hi.z - lo.z) / 3.0, 1e-6)
+    return jax.nn.sigmoid(margin / (temp * size))
+
+
 def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
                               config: RenderConfig, cubemap: CubemapData) -> Vec3:
     """Soft primary-visibility compositing (differentiable-mode only; no
-    reference analogue): alpha-blend the traced radiance against the
-    primary-direction sky with a smooth winner-sphere coverage. This
-    supplies the silhouette (visibility-boundary) gradient that
-    detached-decision autodiff drops — see config.soft_silhouette_temp.
-    Shared by the XLA integrator and the Pallas render wrapper."""
+    reference analogue): alpha-blend the traced radiance against what the
+    primary ray would see WITHOUT the winner — the runner-up hit's local
+    proxy radiance (emission + albedo-tinted sky) when one exists, else
+    the sky. Winner coverage is smooth for BOTH primitive kinds: sphere =
+    sigmoid of the perpendicular-distance margin, cube = sigmoid of the
+    slab-overlap margin. This supplies the silhouette (visibility-
+    boundary) gradient that detached-decision autodiff drops — including
+    object-over-object edges — see config.soft_silhouette_temp. Shared by
+    the XLA integrator and the Pallas render wrapper."""
+    from ray_tracing_tpu.ops.intersect import (
+        BIG, HIT_THRESHOLD, intersect_cube, intersect_sphere,
+    )
+
     d0 = rd0.normalize()
+    a = d0.dot(d0)
     h0 = trace(scene, ro0, rd0)
+    shape = h0.t.shape
+    temp = config.soft_silhouette_temp
+
     alpha = jnp.where(h0.hit, 1.0, 0.0)
+    # nearest NON-winner hit along the primary ray (the revealed surface
+    # when the winner's silhouette recedes)
+    t2 = jnp.full(shape, BIG)
+    alb2 = Vec3.zeros(shape)
+    emis2 = Vec3.zeros(shape)
+
     for i in range(scene.num_objects):
-        if not scene.is_sphere(i):
-            continue
-        oc = scene.center(i) - ro0
-        along = oc.dot(d0)
-        d_perp2 = jnp.maximum(oc.norm2() - along * along, 1e-12)
-        d_perp = jnp.sqrt(d_perp2)
-        r = scene.radius(i)
-        a_i = jax.nn.sigmoid(
-            (r - d_perp) / (config.soft_silhouette_temp * jnp.maximum(r, 1e-6))
-        )
         winner = (h0.obj == i) & h0.hit
-        alpha = jnp.where(winner & (along > 0), a_i, alpha)
+        if scene.is_sphere(i):
+            oc = scene.center(i) - ro0
+            along = oc.dot(d0)
+            d_perp2 = jnp.maximum(oc.norm2() - along * along, 1e-12)
+            d_perp = jnp.sqrt(d_perp2)
+            r = scene.radius(i)
+            a_i = jax.nn.sigmoid(
+                (r - d_perp) / (temp * jnp.maximum(r, 1e-6))
+            )
+            alpha = jnp.where(winner & (along > 0), a_i, alpha)
+            t_i = intersect_sphere(ro0, d0, a, scene.center(i), r)
+        else:
+            a_i = _soft_slab_coverage(
+                ro0, d0, scene.box_lo(i), scene.box_hi(i), temp
+            )
+            alpha = jnp.where(winner, a_i, alpha)
+            t_i, _ = intersect_cube(ro0, d0, scene.box_lo(i), scene.box_hi(i))
+
+        tt = jnp.where(winner, BIG, t_i)
+        w2 = tt < t2
+        t2 = jnp.where(w2, tt, t2)
+        alb2 = Vec3.where(w2, scene.albedo_of(i).broadcast_to(shape), alb2)
+        emis2 = Vec3.where(w2, scene.emission_of(i).broadcast_to(shape), emis2)
+
     sky0 = sample_cubemap(
         cubemap, d0, bilinear=config.env_filter == "bilinear"
     ).clip(0.0, 1.0)
-    return result * alpha + sky0 * (1.0 - alpha)
+    has2 = t2 < HIT_THRESHOLD
+    # cheap local proxy for the runner-up's radiance — gradient DIRECTION
+    # is what matters at a training-only smoothing boundary
+    bg = Vec3.where(has2, (emis2 + alb2 * sky0).clip(0.0, 1.0), sky0)
+    return result * alpha + bg * (1.0 - alpha)
 
 
 def render_pixels(

@@ -331,3 +331,176 @@ def test_sharded_pallas_train_step_on_tpu():
     err0 = float(jnp.abs(start.albedo[0] - s.albedo[0]).mean())
     err1 = float(jnp.abs(params["scene"]["albedo"][0] - s.albedo[0]).mean())
     assert err1 < 0.3 * err0
+
+
+def test_path_replay_grads_match_xla_autodiff():
+    """Path replay (the large-scene Pallas backward's math) in pure XLA:
+    record winners, vjp the replayed tile_physics, route with one-hot
+    matmuls — must match direct autodiff of tile_physics through the
+    differentiable scan trace, including NEE emission and light-origin
+    gradients. 60 objects > UNROLL_LIMIT exercises the scan path."""
+    import dataclasses
+
+    from ray_tracing_tpu.kernels import megakernel as mk
+    from ray_tracing_tpu.ops.vec import Vec3 as V
+
+    rng = np.random.default_rng(1)
+    objs = []
+    for i in range(60):
+        if i % 3 == 0:
+            objs.append(ObjectSpec(
+                kind="cube", p0=tuple(rng.uniform(-6, 6, 3)),
+                p1=tuple(rng.uniform(0.5, 2.0, 3)),
+                albedo=tuple(rng.uniform(0.2, 1, 3)),
+                roughness=float(rng.uniform())))
+        else:
+            objs.append(ObjectSpec(
+                kind="sphere", p0=tuple(rng.uniform(-6, 6, 3)),
+                p1=(float(rng.uniform(0.4, 1.2)),) * 3,
+                albedo=tuple(rng.uniform(0.2, 1, 3)),
+                roughness=float(rng.uniform()),
+                reflectance=float(rng.uniform()),
+                emission_power=2.0 if i == 7 else 0.0))
+    base = Scene.from_objects(objs)
+    assert base.num_objects == 60 and base.light_index == 7
+
+    cfg = RenderConfig(bounces=3, shadow_samples=2)
+    cam = Camera.default()
+    shape = (16, 128)
+    cam_pack = mk._camera_pack(cam, 2.0, cfg).reshape(1, 16)
+    xs = jnp.broadcast_to(jnp.arange(128, dtype=jnp.float32), shape)
+    ys = jnp.broadcast_to(jnp.arange(16, dtype=jnp.float32)[:, None], shape)
+    u, v = 1.0 - xs / 127, 1.0 - ys / 15
+
+    class FixedDraws:
+        """Deterministic draws shared by both paths (no hardware PRNG)."""
+
+        def __init__(self):
+            r = np.random.default_rng(9)
+            def vec(s):
+                a = r.uniform(-1, 1, (3, *s)).astype(np.float32)
+                return V(*(jnp.asarray(a[k]) for k in range(3))).normalize()
+            self._shadow = [vec((cfg.shadow_samples, *shape)) for _ in range(cfg.bounces)]
+            self._dir = [vec(shape) for _ in range(cfg.bounces)]
+            self._branch = [jnp.asarray(r.uniform(0, 1, shape), jnp.float32)
+                            for _ in range(cfg.bounces)]
+
+        def shadow(self, b):
+            return self._shadow[b]
+
+        def direction(self, b):
+            return self._dir[b]
+
+        def branch(self, b):
+            return self._branch[b]
+
+    draws = FixedDraws()
+    cot_seed = np.random.default_rng(5)
+    cotangents = tuple(
+        jnp.asarray(cot_seed.uniform(-1, 1, shape), jnp.float32) for _ in range(10)
+    )
+
+    def scene_from(rows):
+        return dataclasses.replace(
+            base, p0=rows[:, 0:3], p1=rows[:, 3:6], albedo=rows[:, 6:9],
+            roughness=rows[:, 9], reflectance=rows[:, 10], metallic=rows[:, 11],
+            emission_power=jnp.linalg.norm(rows[:, 12:15], axis=1) * 0 + base.emission_power,
+        )
+
+    rows0 = mk.pack_scene(base)
+
+    # --- direct autodiff through the scan trace ---
+    def loss_direct(rows, cam_arr):
+        # emission cols are premultiplied in packed rows; rebuild a scene
+        # whose emission_color*power equals rows[:,12:15] by setting
+        # emission_color=rows, emission_power=1
+        s = dataclasses.replace(
+            base, p0=rows[:, 0:3], p1=rows[:, 3:6], albedo=rows[:, 6:9],
+            roughness=rows[:, 9], reflectance=rows[:, 10],
+            metallic=rows[:, 11], emission_color=rows[:, 12:15],
+            emission_power=jnp.ones(60, jnp.float32),
+        )
+        outs = mk.tile_physics(s, cam_arr[0], u, v, draws, cfg, shape)
+        return sum(jnp.vdot(o, c) for o, c in zip(outs, cotangents))
+
+    g_rows, g_cam = jax.grad(loss_direct, argnums=(0, 1))(rows0, cam_pack)
+
+    # --- path replay ---
+    recorder = mk.RecordingTracer(base)
+    mk.tile_physics(base, cam_pack[0], u, v, draws, cfg, shape, tracer=recorder)
+    records = recorder.records
+    li = base.light_index
+    light_geom = (
+        V(*(rows0[li, k] for k in range(3))),
+        V(*(rows0[li, k] for k in range(3, 6))),
+    )
+
+    def f(records, cam_arr, light_geom):
+        tracer = mk.ReplayTracer(records, True, light_geom,
+                                 light_is_sphere=bool(base.is_sphere(li)))
+        return mk.tile_physics(None, cam_arr[0], u, v, draws, cfg, shape,
+                               tracer=tracer)
+
+    _, vjpf = jax.vjp(f, records, cam_pack, light_geom)
+    g_records, g_cam_r, g_light = vjpf(cotangents)
+    G = np.array(mk._route_record_grads(60, records, g_records))
+    gp0, gp1 = g_light
+    G[li, 0:3] += [float(gp0.x), float(gp0.y), float(gp0.z)]
+    G[li, 3:6] += [float(gp1.x), float(gp1.y), float(gp1.z)]
+
+    want = np.asarray(g_rows)
+    # col 15 (type tag) has no gradient path in either formulation
+    np.testing.assert_allclose(G[:, :15], want[:, :15], rtol=2e-3, atol=2e-4)
+    # replay recomputes t/normals from winner params; fma/reorder noise
+    # accumulates over the tile into the camera grads (~1e-3 relative)
+    np.testing.assert_allclose(
+        np.asarray(g_cam_r), np.asarray(g_cam), rtol=2e-2, atol=5e-2
+    )
+
+
+def _big_scene(n=60, light=7):
+    rng = np.random.default_rng(1)
+    objs = []
+    for i in range(n):
+        if i % 3 == 0:
+            objs.append(ObjectSpec(
+                kind="cube", p0=tuple(rng.uniform(-6, 6, 3)),
+                p1=tuple(rng.uniform(0.5, 2.0, 3)),
+                albedo=tuple(rng.uniform(0.2, 1, 3)),
+                roughness=float(rng.uniform())))
+        else:
+            objs.append(ObjectSpec(
+                kind="sphere", p0=tuple(rng.uniform(-6, 6, 3)),
+                p1=(float(rng.uniform(0.4, 1.2)),) * 3,
+                albedo=tuple(rng.uniform(0.2, 1, 3)),
+                roughness=float(rng.uniform()),
+                emission_power=2.0 if i == light else 0.0))
+    return Scene.from_objects(objs)
+
+
+@pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
+def test_pallas_replay_bwd_large_scene_on_tpu():
+    """The path-replay backward (>UNROLL_LIMIT objects) produces finite
+    gradients through the full custom VJP on hardware. Compile is ~10min
+    cold. Numerical equivalence to autodiff is pinned by the CPU test
+    test_path_replay_grads_match_xla_autodiff (same functions)."""
+    if not on_tpu():
+        pytest.skip("needs TPU")
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+    from ray_tracing_tpu.ops.cubemap import gradient_sky
+
+    s = _big_scene(60)
+    cam = Camera.default()
+    cfg = RenderConfig(bounces=3, shadow_samples=2, env_filter="bilinear")
+    sky = gradient_sky(8)
+
+    def loss(s, seed):
+        return jnp.sum(render_image_pallas(s, cam, 256, 128, seed, spp=1,
+                                           config=cfg, cubemap=sky))
+
+    g = jax.jit(jax.grad(loss))(s, 3)
+    for f in ("p0", "p1", "albedo", "roughness", "emission_power"):
+        arr = np.asarray(getattr(g, f))
+        assert np.isfinite(arr).all(), f
+    # gradients actually reach many objects (not just the light row)
+    assert (np.abs(np.asarray(g.albedo)).sum(axis=1) > 0).mean() > 0.5
