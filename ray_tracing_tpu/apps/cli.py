@@ -135,13 +135,17 @@ def main(argv=None):
     if use_pallas:
         from ray_tracing_tpu.render.film import render_pass_pallas
 
-        @functools.partial(jax.jit, static_argnames=("scale",))
-        def pass_fn(scene, camera, film, seed, scale):
-            return render_pass_pallas(scene, camera, film, seed, scale, config, cubemap)
+        @functools.partial(jax.jit, static_argnames=("scale", "spp"))
+        def pass_fn(scene, camera, film, seed, scale, spp):
+            return render_pass_pallas(scene, camera, film, seed, scale,
+                                      config, cubemap, spp=spp)
 
         def render_fn(scene, camera, film, key, scale):
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
-            return pass_fn(scene, camera, film, seed, scale=scale)
+            # full-res passes batch samples so the sparse sky gather
+            # amortizes its sample-0 full gather (film.py rationale)
+            return pass_fn(scene, camera, film, seed, scale=scale,
+                           spp=4 if scale == 1 else 1)
     else:
         @functools.partial(jax.jit, static_argnames=("scale",))
         def pass_fn(scene, camera, film, key, scale):

@@ -99,14 +99,17 @@ class RenderService:
         if use_pallas:
             import functools
 
-            @functools.partial(jax.jit, static_argnames=("scale",))
-            def pfn(scene, camera, film, seed, scale):
+            @functools.partial(jax.jit, static_argnames=("scale", "spp"))
+            def pfn(scene, camera, film, seed, scale, spp):
                 return render_pass_pallas(scene, camera, film, seed, scale,
-                                          config, cubemap)
+                                          config, cubemap, spp=spp)
 
+            # full-res passes batch samples: the sparse sky gather
+            # amortizes its sample-0 full gather (film.py rationale)
             self._pass = lambda key, scale: pfn(
                 self.scene, self.camera, self.film,
-                jax.random.randint(key, (), 0, 2**31 - 1), scale=scale)
+                jax.random.randint(key, (), 0, 2**31 - 1), scale=scale,
+                spp=4 if scale == 1 else 1)
         else:
             import functools
 

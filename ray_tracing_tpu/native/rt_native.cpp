@@ -59,10 +59,12 @@ struct Cursor {
             i++;
         }
     }
-    void skip_spaces_bounded(int limit) {
-        size_t end = i + static_cast<size_t>(limit);
-        while (i < n && i < end &&
-               (s[i] == ' ' || s[i] == '\r' || s[i] == '\t' || s[i] == '\n')) {
+    void skip_raw(int count) {
+        // the reference's albedo/metallic cursor quirk (src/scene.c:280,
+        // :320): advance EXACTLY count chars, whatever they are — values
+        // with <3 spaces after those two property names lose leading chars
+        size_t end = i + static_cast<size_t>(count);
+        while (i < n && i < end) {
             if (s[i] == '\n') line++;
             i++;
         }
@@ -176,11 +178,10 @@ int rt_parse_scene(const char* src, long len, float* params, int* types,
             float fval;
             float vval[3];
             int line = c.line;
-            // NOTE: order matters for prefix-free matching; the reference's
-            // albedo/metallic cursor quirk (src/scene.c:280,320) becomes a
-            // bounded whitespace skip of <= 3 chars.
+            // NOTE: order matters for prefix-free matching; the
+            // albedo/metallic cursor quirk eats 3 RAW chars (skip_raw).
             if (c.match("albedo")) {
-                c.skip_spaces_bounded(3);
+                c.skip_raw(3);
                 c.skip_spaces();
                 if (!parse_vector(c, vval, err, errlen)) return -1;
                 if (!unit_range(vval, 3)) { fail(err, errlen, line, "Error: albedo values must be between 0 and 1"); return -1; }
@@ -196,7 +197,7 @@ int rt_parse_scene(const char* src, long len, float* params, int* types,
                 if (!unit_range(&fval, 1)) { fail(err, errlen, line, "Error: Reflectance must be between 0 and 1"); return -1; }
                 row[COL_REFL] = fval;
             } else if (c.match("metallic")) {
-                c.skip_spaces_bounded(3);
+                c.skip_raw(3);
                 c.skip_spaces();
                 if (!parse_number(c, &fval, err, errlen)) return -1;
                 if (!unit_range(&fval, 1)) { fail(err, errlen, line, "Error: Metallic must be between 0 and 1"); return -1; }

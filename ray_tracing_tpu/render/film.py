@@ -121,9 +121,16 @@ def render_pass_pallas(
     scale: int = 1,
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
+    spp: int = 1,
 ) -> Film:
     """render_pass on the Pallas megakernel (TPU fast path for the
-    interactive viewer). Same accumulation semantics, hardware PRNG."""
+    interactive viewer). Same accumulation semantics, hardware PRNG.
+
+    spp > 1 accumulates several samples in ONE device call with weight
+    spp/scale^2 — statistically identical to spp single-sample passes,
+    but the sparse sky gather amortizes its full-frame sample-0 gather
+    across the pass (skybox viewers should run full-res passes at
+    spp 4-8; see ops/cubemap.sparse_sky_lookup)."""
     from ray_tracing_tpu.kernels.megakernel import render_image_pallas
 
     width, height = film.width, film.height
@@ -133,12 +140,12 @@ def render_pass_pallas(
     # lw/lh alone would distort warm-up passes when width or height isn't
     # divisible by the scale
     img = render_image_pallas(
-        scene, camera, lw, lh, seed, spp=1, config=config, cubemap=cubemap,
+        scene, camera, lw, lh, seed, spp=spp, config=config, cubemap=cubemap,
         aspect=width / height,
     )
     rgb = Vec3(img[..., 0], img[..., 1], img[..., 2])
     full = upsample_replicate(rgb, scale, width, height)
-    w = jnp.float32(1.0 / (scale * scale))
+    w = jnp.float32(spp / (scale * scale))
     return Film(accum=film.accum + full * w, weight=film.weight + w)
 
 

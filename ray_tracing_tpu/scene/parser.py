@@ -89,11 +89,17 @@ class _Scanner:
             i += 1
         self.i = i
 
-    def skip_spaces_bounded(self, limit: int) -> None:
-        """Consume at most `limit` whitespace chars (albedo/metallic quirk)."""
+    def skip_raw(self, count: int) -> None:
+        """Advance exactly `count` chars REGARDLESS of what they are — the
+        reference's albedo/metallic cursor quirk (src/scene.c:280, :320
+        advance 9/11 = keyword + 3): a value with fewer than 3 spaces after
+        those property names loses its leading characters. Found by fuzz
+        parity vs the compiled reference ("metallic 1.0000" parses as
+        metallic=0 — the C eats "1."); line counting still tracks any
+        newlines eaten."""
         src, i, n = self.src, self.i, len(self.src)
-        end = min(n, i + limit)
-        while i < end and src[i] in _SPACE:
+        end = min(n, i + count)
+        while i < end:
             if src[i] == "\n":
                 self.line += 1
             i += 1
@@ -184,7 +190,7 @@ def parse_objects(src: str, warn=None) -> list[ObjectSpec]:
                 if s.src.startswith(name, s.i):
                     prop, (is_vec, sphere_only, cube_only, extra) = name, meta
                     s.i += len(name)
-                    s.skip_spaces_bounded(extra)
+                    s.skip_raw(extra)
                     break
             if prop is None:
                 break  # not a property name -> next object or EOF

@@ -105,8 +105,50 @@ Vector3 sample_cubemap(Cubemap *c, Vector3 dir)
 	};
 }
 
+/* Ray-probe mode: `oracle --trace <scene.txt>` reads "ox oy oz dx dy dz"
+ * lines from stdin and prints the reference trace_ray result per ray —
+ * for bounce-level parity debugging against the framework's trace(). */
+static int trace_mode(const char *scene_file)
+{
+	if (!parse_scene_file((char *) scene_file, &scene)) {
+		fprintf(stderr, "Couldn't parse scene\n");
+		return 1;
+	}
+	double ox, oy, oz, dx, dy, dz;
+	while (scanf("%lf %lf %lf %lf %lf %lf", &ox, &oy, &oz, &dx, &dy, &dz) == 6) {
+		Ray r = { { (float) ox, (float) oy, (float) oz },
+		          { (float) dx, (float) dy, (float) dz } };
+		HitInfo h = trace_ray(r, &scene);
+		printf("%d %.9g %.9g %.9g %.9g %.9g %.9g %.9g\n",
+		       h.object, h.distance,
+		       h.point.x, h.point.y, h.point.z,
+		       h.normal.x, h.normal.y, h.normal.z);
+		fflush(stdout);  /* line-oriented protocol when piped */
+	}
+	return 0;
+}
+
+/* Ray probe: read "u v aspect" lines, print the reference's own primary
+ * ray (camera.c:95-125 with the default pose). */
+static int ray_mode(void)
+{
+	double u, v, a;
+	while (scanf("%lf %lf %lf", &u, &v, &a) == 3) {
+		Ray r = ray_through_screen_at((float) u, (float) v, (float) a);
+		printf("%.9g %.9g %.9g %.9g %.9g %.9g\n",
+		       r.origin.x, r.origin.y, r.origin.z,
+		       r.direction.x, r.direction.y, r.direction.z);
+		fflush(stdout);
+	}
+	return 0;
+}
+
 int main(int argc, char **argv)
 {
+	if (argc >= 2 && strcmp(argv[1], "--ray") == 0)
+		return ray_mode();
+	if (argc >= 3 && strcmp(argv[1], "--trace") == 0)
+		return trace_mode(argv[2]);
 	if (argc < 6) {
 		fprintf(stderr,
 			"usage: %s <scene.txt> <W> <H> <spp> <out.f32> "

@@ -104,3 +104,70 @@ def test_golden_provenance(reference_dir):
     fresh = np.fromfile(out, np.float32).reshape(H, W, 3)
     ref = golden("scene_2", "skybox")
     assert np.abs(fresh - ref).mean() < 0.03
+
+
+def _random_scene_dsl(rng, n):
+    """Valid scene-DSL text (grammar of src/scene.c:206-609: plain decimal
+    floats, {x y z} vectors) for n random objects."""
+    f = lambda v: f"{v:.4f}"
+    vec = lambda v: "{" + " ".join(f"{x:.4f}" for x in v) + "}"
+    lines = []
+    for i in range(n):
+        mat = (
+            f"albedo   {vec(rng.uniform(0.1, 1.0, 3))}\n"
+            f"roughness {f(rng.uniform())}\n"
+            f"reflectance {f(rng.uniform())}\n"
+            f"metallic {f(float(rng.random() < 0.2))}\n"
+        )
+        emis = ""
+        if i == 1 and rng.random() < 0.5:
+            emis = (f"emission_power {f(rng.uniform(1, 4))}\n"
+                    f"emission_color {vec(rng.uniform(0.5, 1.0, 3))}\n")
+        if rng.random() < 0.4:
+            lines.append(
+                "cube\norigin " + vec(rng.uniform(-5, 4, 3))
+                + "\nsize " + vec(rng.uniform(0.5, 3.0, 3)) + "\n" + mat + emis
+            )
+        else:
+            lines.append(
+                "sphere\ncenter " + vec(rng.uniform(-4, 4, 3))
+                + f"\nradius {f(rng.uniform(0.4, 1.6))}\n" + mat + emis
+            )
+    return "\n".join(lines)
+
+
+@pytest.mark.skipif(not SLOW, reason="compiles + renders the reference; RTT_SLOW=1")
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fuzz_parity_random_scenes(seed, tmp_path, reference_dir):
+    """Property-based parity: RANDOM scenes (mixed primitives, materials,
+    emissives) rendered by the compiled reference and by the framework
+    must agree in converged mean — catches semantic drift anywhere in the
+    parser/camera/intersection/shading chain beyond the 3 stock scenes."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+    dsl = _random_scene_dsl(rng, int(rng.integers(4, 10)))
+    scene_file = tmp_path / "fuzz.txt"
+    scene_file.write_text(dsl)
+
+    subprocess.run(["make", "-s"], cwd=ORACLE_DIR, check=True)
+    out = tmp_path / "oracle.f32"
+    w, h = 64, 48
+    subprocess.run(
+        [str(ORACLE_DIR / "oracle"), str(scene_file), str(w), str(h), "1024",
+         str(out), "const", "0.6", "0.7", "0.9"],
+        check=True, capture_output=True,
+    )
+    ref = np.fromfile(out, np.float32).reshape(h, w, 3)
+
+    scene = parse_scene_file(str(scene_file))
+    img = np.asarray(
+        render_image(scene, Camera.default(), w, h, jax.random.key(0),
+                     spp=64, cubemap=constant_sky(CONST))
+    )
+    ds = lambda a: a.reshape(h // 4, 4, w // 4, 4, 3).mean(axis=(1, 3))
+    mae = np.abs(img - ref).mean()
+    ds_mae = np.abs(ds(img) - ds(ref)).mean()
+    assert mae < 0.06, f"seed {seed}: mae={mae:.4f}\n{dsl}"
+    assert ds_mae < 0.02, f"seed {seed}: ds_mae={ds_mae:.4f}\n{dsl}"
+    assert abs(img.mean() - ref.mean()) < 0.012, f"seed {seed}\n{dsl}"

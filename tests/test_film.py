@@ -113,3 +113,31 @@ def test_invalidation_is_fresh_film():
     f2 = render_pass(scene(), cam2, Film.zero(16, 12), KEY, 1, CFG, SKY)
     assert float(f2.weight) == pytest.approx(1.0)
     assert np.abs(np.asarray(f1.resolve()) - np.asarray(f2.resolve())).max() > 0
+
+
+def test_render_pass_pallas_spp_weight(monkeypatch):
+    """A batched pass (spp=k) must carry weight k/scale^2 so the resolved
+    mean is unchanged — stub the kernel, check the accounting."""
+    import jax.numpy as jnp
+
+    from ray_tracing_tpu.kernels import megakernel as mk
+    from ray_tracing_tpu.render.film import Film, render_pass_pallas
+
+    W, H = 16, 8
+    calls = {}
+
+    def fake_render(scene, camera, w, h, seed, spp=1, config=None,
+                    cubemap=None, aspect=None, **kw):
+        calls["spp"] = spp
+        return jnp.full((h, w, 3), 0.25, jnp.float32)
+
+    monkeypatch.setattr(mk, "render_image_pallas", fake_render)
+
+    film = Film.zero(W, H)
+    film = render_pass_pallas(None, None, film, 0, scale=1, spp=4)
+    assert calls["spp"] == 4
+    assert float(film.weight) == 4.0
+    np.testing.assert_allclose(np.asarray(film.resolve()), 0.25, atol=1e-6)
+    # a scale-2 single-sample warmup still weighs 1/4
+    film = render_pass_pallas(None, None, film, 1, scale=2, spp=1)
+    assert float(film.weight) == 4.25
