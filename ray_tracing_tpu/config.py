@@ -62,6 +62,14 @@ class RenderConfig:
     # faithful to the reference (src/gpu_and_windowing.c:103-104).
     env_filter: str = "nearest"  # "nearest" | "bilinear"
 
+    # Pallas backward implementation (kernels/megakernel.py). "replay"
+    # (default): path replay — record winners, vjp a loop-free replay,
+    # route with one-hot matmuls; residuals don't scale with object count.
+    # Measured vs the direct in-kernel vjp at 1080p full physics+skybox:
+    # scene_2 3.8->4.4, scene_0 0.66->1.2 Grays/s fwd+bwd. "direct": the
+    # round-1 vjp-of-tile_physics backward (small scenes only).
+    bwd_mode: str = "replay"  # "replay" | "direct"
+
     # Sparse sky gather (exact; no reference analogue needed — pure perf).
     # Across Monte-Carlo samples at a fixed camera the nearest-texel sky
     # lookup repeats for primary misses and pure-specular chains; when on,

@@ -783,9 +783,9 @@ def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta):
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     whole = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
-    if n > UNROLL_LIMIT:
+    if n > UNROLL_LIMIT or config.bwd_mode != "direct":
         # path-replay backward: scene stays in SMEM (the recording pass
-        # reads it scalar-by-scalar inside the fori trace, like the fwd)
+        # reads it scalar-by-scalar like the fwd; small scenes unroll)
         kernel = functools.partial(
             _bwd_kernel_replay,
             obj_type=obj_type, light_index=light_index, config=config,

@@ -129,10 +129,11 @@ def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3):
 UNROLL_LIMIT = 48
 
 
-def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
-    """Closest hit with winner material, batched over ro/rd's shape."""
+def trace(scene: Scene, ro: Vec3, rd: Vec3, record: bool = False):
+    """Closest hit with winner material, batched over ro/rd's shape.
+    record=True also returns the TraceRecord (path replay)."""
     if scene.num_objects > UNROLL_LIMIT:
-        return _trace_scan(scene, ro, rd, want_material=True)
+        return _trace_scan(scene, ro, rd, want_material=True, record=record)
     d = rd.normalize()  # trace_ray normalizes first (src/scene.c:158)
     a = d.dot(d)
     shape = jnp.broadcast_shapes(ro.shape, d.shape)
@@ -142,6 +143,7 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
     # all-false via comparison, not a bool constant (Mosaic-compatible)
     sphere_win = t_best < 0
     center_best = Vec3.zeros(shape)
+    p1_best = Vec3.zeros(shape)
     cube_n_best = Vec3.zeros(shape)
     albedo_best = Vec3.zeros(shape)
     rough_best = jnp.zeros(shape, d.dtype)
@@ -164,6 +166,17 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
         else:
             sphere_win = sphere_win & ~win
             cube_n_best = Vec3.where(win, n_i, cube_n_best)
+            if record:
+                # the record's p0 is the winner's row origin for BOTH
+                # kinds; center_best is sphere_win-masked in the Hit, so
+                # updating it on cube wins is harmless there
+                center_best = Vec3.where(
+                    win, scene.box_lo(i).broadcast_to(shape), center_best
+                )
+        if record:
+            p1_best = Vec3.where(
+                win, _p1_of(scene, i).broadcast_to(shape), p1_best
+            )
         albedo_best = Vec3.where(win, scene.albedo_of(i).broadcast_to(shape), albedo_best)
         rough_best = jnp.where(win, scene.roughness_of(i), rough_best)
         refl_best = jnp.where(win, scene.reflectance_of(i), refl_best)
@@ -176,7 +189,7 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
     sphere_n = (point - center_best).normalize()
     normal = Vec3.where(sphere_win, sphere_n, cube_n_best)
 
-    return Hit(
+    h = Hit(
         t=t_best,
         hit=hit,
         obj=obj_best,
@@ -188,6 +201,31 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3) -> Hit:
         metallic=metal_best,
         emission=emiss_best,
     )
+    if not record:
+        return h
+    rec = TraceRecord(
+        obj=obj_best,
+        hit=hit.astype(d.x.dtype),
+        is_sph=jnp.where(sphere_win, 1.0, 0.0),
+        p0=center_best,
+        p1=p1_best,
+        albedo=albedo_best,
+        roughness=rough_best,
+        reflectance=refl_best,
+        metallic=metal_best,
+        emission=emiss_best,
+    )
+    return h, rec
+
+
+def _p1_of(scene, i) -> Vec3:
+    """Winner row cols 3-5 (radius*/size) for any scene-like object."""
+    hi = scene.box_hi(i)
+    lo = scene.box_lo(i)
+    if scene.is_sphere(i):
+        r = scene.radius(i)
+        return Vec3(r, r, r)
+    return hi - lo
 
 
 @jax.tree_util.register_dataclass
@@ -330,9 +368,9 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool,
 
 def trace_record(scene, ro: Vec3, rd: Vec3):
     """Non-differentiable closest hit that ALSO returns the winner record
-    for path replay. Works for any object count (always the packed-row
-    loop) and inside Pallas kernels (SceneView.in_kernel)."""
-    return _trace_scan(scene, ro, rd, want_material=True, record=True)
+    for path replay: unrolled running-min for small scenes, packed-row
+    loop above UNROLL_LIMIT (incl. inside Pallas kernels)."""
+    return trace(scene, ro, rd, record=True)
 
 
 def trace_replay(rec: TraceRecord, ro: Vec3, rd: Vec3) -> Hit:
@@ -383,10 +421,16 @@ class ShadowRecord:
 
 
 def trace_shadow_record(scene, ro: Vec3, rd: Vec3):
-    """trace_shadow + ShadowRecord (for path replay)."""
-    h, rec = _trace_scan(scene, ro, rd, want_material=False, record=True)
-    return (h.hit, h.emission), ShadowRecord(
-        obj=rec.obj, hit=rec.hit, emission=rec.emission
+    """trace_shadow + ShadowRecord (for path replay): unrolled for small
+    scenes, packed-row loop above UNROLL_LIMIT."""
+    if scene.num_objects > UNROLL_LIMIT:
+        h, rec = _trace_scan(scene, ro, rd, want_material=False, record=True)
+        return (h.hit, h.emission), ShadowRecord(
+            obj=rec.obj, hit=rec.hit, emission=rec.emission
+        )
+    hit, emiss, obj = _trace_shadow_unrolled(scene, ro, rd, want_obj=True)
+    return (hit, emiss), ShadowRecord(
+        obj=obj, hit=hit.astype(jnp.float32), emission=emiss
     )
 
 
@@ -396,18 +440,14 @@ def trace_shadow_replay(rec: ShadowRecord):
     return rec.hit > 0.5, rec.emission
 
 
-def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):
-    """Light-sampling trace: only (hit, emission-of-nearest) are needed
-    (src/main.c:200-204). Tracks 5 fields instead of 14."""
-    if scene.num_objects > UNROLL_LIMIT:
-        h = _trace_scan(scene, ro, rd, want_material=False)
-        return h.hit, h.emission
+def _trace_shadow_unrolled(scene, ro: Vec3, rd: Vec3, want_obj: bool):
     d = rd.normalize()
     a = d.dot(d)
     shape = jnp.broadcast_shapes(ro.shape, d.shape)
 
     t_best = jnp.full(shape, BIG, d.dtype)
     emiss_best = Vec3.zeros(shape)
+    obj_best = jnp.full(shape, -1, jnp.int32)
 
     for i in range(scene.num_objects):
         if scene.is_sphere(i):
@@ -416,7 +456,21 @@ def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):
             t_i, _ = intersect_cube(ro, d, scene.box_lo(i), scene.box_hi(i))
         win = t_i < t_best
         t_best = jnp.where(win, t_i, t_best)
+        if want_obj:
+            obj_best = jnp.where(win, i, obj_best)
         emiss_best = Vec3.where(win, scene.emission_of(i).broadcast_to(shape), emiss_best)
 
     hit = t_best < HIT_THRESHOLD
-    return hit, emiss_best
+    if want_obj:
+        obj_best = jnp.where(hit, obj_best, -1)
+    return hit, emiss_best, obj_best
+
+
+def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):
+    """Light-sampling trace: only (hit, emission-of-nearest) are needed
+    (src/main.c:200-204). Tracks 5 fields instead of 14."""
+    if scene.num_objects > UNROLL_LIMIT:
+        h = _trace_scan(scene, ro, rd, want_material=False)
+        return h.hit, h.emission
+    hit, emiss, _ = _trace_shadow_unrolled(scene, ro, rd, want_obj=False)
+    return hit, emiss

@@ -504,3 +504,35 @@ def test_pallas_replay_bwd_large_scene_on_tpu():
         assert np.isfinite(arr).all(), f
     # gradients actually reach many objects (not just the light row)
     assert (np.abs(np.asarray(g.albedo)).sum(axis=1) > 0).mean() > 0.5
+
+
+@pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
+def test_replay_bwd_matches_direct_bwd():
+    """The path-replay backward (default) and the direct in-kernel vjp
+    backward share the PrecomputedDraws streams, so their gradients must
+    agree to float noise on the same seed — scene_0 exercises NEE + cubes
+    + the light-origin routing."""
+    if not on_tpu():
+        pytest.skip("needs TPU")
+    from ray_tracing_tpu.io.image import load_cubemap
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    cam = Camera.default()
+    cm = load_cubemap()
+    scene = parse_scene_file("/root/reference/scene_0.txt")
+    W, H = 512, 256
+    gs = {}
+    for mode in ("replay", "direct"):
+        cfg = RenderConfig(bwd_mode=mode)
+
+        def loss(s, seed):
+            return jnp.sum(render_image_pallas(
+                s, cam, W, H, seed, spp=2, config=cfg, cubemap=cm))
+
+        gs[mode] = jax.jit(jax.grad(loss))(scene, 7)
+    for f in ("p0", "p1", "albedo", "roughness", "emission_power"):
+        a = np.asarray(getattr(gs["replay"], f))
+        b = np.asarray(getattr(gs["direct"], f))
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 5e-3, f

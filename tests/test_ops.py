@@ -388,3 +388,41 @@ def test_sparse_sky_lookup_exact():
     want = jnp.where(need, jnp.take(cm.packed, flat), jnp.uint32(0))
     got = sparse_sky_lookup(cm, flat, need, budget=2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_trace_record_unrolled_matches_scan():
+    """trace_record's unrolled small-scene path must agree with the
+    packed-row loop (the in-kernel path) — Hit AND record fields."""
+    import dataclasses as _dc
+
+    from ray_tracing_tpu.ops.intersect import _trace_scan, trace_record
+    from ray_tracing_tpu.scene.types import ObjectSpec, Scene
+
+    rng = np.random.default_rng(4)
+    objs = []
+    for i in range(6):
+        if i % 2:
+            objs.append(ObjectSpec(kind="cube", p0=tuple(rng.uniform(-4, 4, 3)),
+                                   p1=tuple(rng.uniform(0.5, 2, 3)),
+                                   albedo=tuple(rng.uniform(0, 1, 3))))
+        else:
+            objs.append(ObjectSpec(kind="sphere", p0=tuple(rng.uniform(-4, 4, 3)),
+                                   p1=(float(rng.uniform(0.3, 1.5)),) * 3,
+                                   albedo=tuple(rng.uniform(0, 1, 3)),
+                                   emission_power=2.0 if i == 2 else 0.0))
+    s = Scene.from_objects(objs)
+    n = 256
+    ro = Vec3.from_array(jnp.asarray(rng.uniform(-6, 6, (n, 3)), jnp.float32))
+    rd = Vec3.from_array(jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32))
+
+    h1, r1 = trace_record(s, ro, rd)       # unrolled (6 <= UNROLL_LIMIT)
+    h2, r2 = _trace_scan(s, ro, rd, want_material=True, record=True)
+
+    np.testing.assert_array_equal(np.asarray(r1.obj), np.asarray(r2.obj))
+    np.testing.assert_array_equal(np.asarray(r1.hit), np.asarray(r2.hit))
+    np.testing.assert_array_equal(np.asarray(r1.is_sph), np.asarray(r2.is_sph))
+    for f in ("p0", "p1", "albedo", "emission"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(r1, f).to_array()),
+            np.asarray(getattr(r2, f).to_array()), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), rtol=1e-5)
