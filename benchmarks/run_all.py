@@ -100,8 +100,18 @@ def main():
     text = "\n".join(out)
     print(text)
     if args.write:
+        # replace only the headline matrix (everything before the first
+        # "## " section) — BENCH_NOTES.md accumulates curated sections
+        # (sparse sky, scaling, config 5, replay bwd) below it
+        try:
+            with open("BENCH_NOTES.md") as f:
+                old = f.read()
+            idx = old.find("\n## ")
+            tail = old[idx:] if idx >= 0 else "\n"
+        except OSError:
+            tail = "\n"
         with open("BENCH_NOTES.md", "w") as f:
-            f.write(text + "\n")
+            f.write(text + "\n" + tail)
 
 
 if __name__ == "__main__":

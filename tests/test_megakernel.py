@@ -232,6 +232,9 @@ def test_bwd_primal_streams_bit_identical():
 
 @pytest.mark.skipif(not SLOW, reason="TPU-interpreter compile is minutes-slow; set RTT_SLOW=1")
 def test_megakernel_interpret_matches_xla():
+    if on_tpu():
+        pytest.skip("interpreter path is CPU-only coverage; the real "
+                    "kernel is tested directly on TPU")
     from jax.experimental.pallas import tpu as pltpu
 
     from ray_tracing_tpu.kernels.megakernel import render_image_pallas
