@@ -33,6 +33,10 @@
 #include "camera.h"
 #include "gpu_and_windowing.h"
 
+/* pose ops use the reference's own camera-state mutators */
+extern void move_camera(Direction dir, float speed);
+extern void rotate_camera(double mouse_x, double mouse_y);
+
 /* ---- globals defined by the reference's main.c ---- */
 extern Scene scene;
 extern Cubemap skybox;
@@ -167,14 +171,20 @@ int main(int argc, char **argv)
 	}
 
 	char paths[6][512];
-	if (argc >= 9 && strcmp(argv[6], "const") == 0) {
+	int a = 6;
+	if (argc > a && strcmp(argv[a], "const") == 0 && argc > a + 3) {
 		have_const_sky = 1;
 		const_sky = (Vector3) {
-			(float) atof(argv[7]), (float) atof(argv[8]),
-			argc > 9 ? (float) atof(argv[9]) : (float) atof(argv[8]),
+			(float) atof(argv[a + 1]), (float) atof(argv[a + 2]),
+			(float) atof(argv[a + 3]),
 		};
+		a += 4;
 	} else {
-		const char *dir = argc > 6 ? argv[6] : "/root/reference/assets/skybox";
+		const char *dir = "/root/reference/assets/skybox";
+		if (argc > a && strcmp(argv[a], "rot") != 0 && strcmp(argv[a], "mov") != 0) {
+			dir = argv[a];
+			a++;
+		}
 		static const char *names[6] = {
 			[CF_RIGHT] = "right", [CF_LEFT] = "left",
 			[CF_TOP] = "top",     [CF_BOTTOM] = "bottom",
@@ -186,6 +196,37 @@ int main(int argc, char **argv)
 			faces[i] = paths[i];
 		}
 		load_cubemap(&skybox, faces);
+	}
+
+	/* pose ops, applied in order through the reference's own camera code:
+	 *   rot DX DY    mouse-look by DX px right / DY px up (the first rot
+	 *                seeds rotate_camera's first_mouse tracking at (0,0),
+	 *                which snaps front to yaw/pitch like the real app)
+	 *   mov K SPEED  K in {w,s,a,d} -> UP/DOWN/LEFT/RIGHT move_camera
+	 */
+	double ax = 0.0, ay = 0.0;
+	int seeded = 0;
+	while (a < argc) {
+		if (strcmp(argv[a], "rot") == 0 && a + 2 < argc) {
+			if (!seeded) { rotate_camera(0.0, 0.0); seeded = 1; }
+			ax += atof(argv[a + 1]);
+			ay -= atof(argv[a + 2]);  /* dy is screen-up; y axis grows down */
+			rotate_camera(ax, ay);
+			a += 3;
+		} else if (strcmp(argv[a], "mov") == 0 && a + 2 < argc) {
+			Direction d_;
+			switch (argv[a + 1][0]) {
+				case 'w': d_ = UP; break;
+				case 's': d_ = DOWN; break;
+				case 'a': d_ = LEFT; break;
+				default:  d_ = RIGHT; break;
+			}
+			move_camera(d_, (float) atof(argv[a + 2]));
+			a += 3;
+		} else {
+			fprintf(stderr, "bad pose op at argv[%d]\n", a);
+			return 2;
+		}
 	}
 
 	double *acc = calloc((size_t) W * H * 3, sizeof(double));

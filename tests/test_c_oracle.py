@@ -171,3 +171,48 @@ def test_fuzz_parity_random_scenes(seed, tmp_path, reference_dir):
     assert mae < 0.06, f"seed {seed}: mae={mae:.4f}\n{dsl}"
     assert ds_mae < 0.02, f"seed {seed}: ds_mae={ds_mae:.4f}\n{dsl}"
     assert abs(img.mean() - ref.mean()) < 0.012, f"seed {seed}\n{dsl}"
+
+
+@pytest.mark.skipif(not SLOW, reason="compiles + renders the reference; RTT_SLOW=1")
+def test_moved_pose_parity(reference_dir, tmp_path):
+    """Camera-control parity: a WASD+mouse-look pose chain applied through
+    the reference's own move_camera/rotate_camera (oracle pose ops) must
+    converge to the same image as the framework's pure move()/rotate()."""
+    import jax
+
+    from ray_tracing_tpu.render import camera as cam_mod
+
+    subprocess.run(["make", "-s"], cwd=ORACLE_DIR, check=True)
+    w, h = 64, 48
+    ops = [("rot", 140.0, -35.0), ("mov", "w", 0.5), ("mov", "d", 0.5),
+           ("rot", -60.0, 10.0), ("mov", "s", 0.5)]
+
+    out = tmp_path / "pose.f32"
+    cmd = [str(ORACLE_DIR / "oracle"), "/root/reference/scene_0.txt",
+           str(w), str(h), "768", str(out), "const", "0.6", "0.7", "0.9"]
+    for op in ops:
+        cmd += [op[0], str(op[1]), str(op[2])]
+    subprocess.run(cmd, check=True, capture_output=True)
+    ref = np.fromfile(out, np.float32).reshape(h, w, 3)
+
+    cam = Camera.default()
+    seeded = False
+    for op in ops:
+        if op[0] == "rot":
+            if not seeded:
+                cam = cam_mod.rotate(cam, 0.0, 0.0)  # first_mouse snap
+                seeded = True
+            cam = cam_mod.rotate(cam, op[1], op[2])
+        else:
+            d = {"w": cam_mod.UP, "s": cam_mod.DOWN,
+                 "a": cam_mod.LEFT, "d": cam_mod.RIGHT}[op[1]]
+            cam = cam_mod.move(cam, d, op[2])
+
+    scene = parse_scene_file("/root/reference/scene_0.txt")
+    img = np.asarray(
+        render_image(scene, cam, w, h, jax.random.key(1), spp=64,
+                     cubemap=constant_sky(CONST))
+    )
+    ds = lambda a: a.reshape(h // 4, 4, w // 4, 4, 3).mean(axis=(1, 3))
+    assert np.abs(ds(img) - ds(ref)).mean() < 0.02
+    assert abs(img.mean() - ref.mean()) < 0.012
