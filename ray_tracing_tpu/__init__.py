@@ -23,6 +23,15 @@ Layer map (mirrors SURVEY.md §1, redesigned functional-first):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA/Mosaic compile cache: megakernel compiles are minutes-cold
+# (TPU remote compile) and identical across runs — cache them so the CLI /
+# viewer / server start fast after the first session. Respect any cache the
+# environment (e.g. the test harness) already configured.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_rtt")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from ray_tracing_tpu.config import RenderConfig
 from ray_tracing_tpu.scene.types import Scene, ObjectSpec, OBJ_NONE, OBJ_SPHERE, OBJ_CUBE
 from ray_tracing_tpu.scene.parser import parse_scene_file, parse_scene_string, SceneParseError
