@@ -63,7 +63,13 @@ def main():
         cubemap = load_cubemap()
         n = len(jax.devices())
         num_samples = 2 if n % 2 == 0 else 1
-        mesh = make_mesh(n // num_samples, num_samples)
+        # the tile axis must divide the frame's rows; drop to the largest
+        # chip count that does (e.g. 2160 rows on a 64-chip slice -> 27
+        # tiles would be wrong — use 24 of 32 tile slots)
+        want_tiles = n // num_samples
+        n_tiles = max(t for t in range(1, want_tiles + 1) if H % t == 0)
+        devices = jax.devices()[: n_tiles * num_samples]
+        mesh = make_mesh(n_tiles, num_samples, devices=devices)
     else:
         W = args.width or 256
         H = args.height or 192

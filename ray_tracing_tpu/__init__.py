@@ -28,12 +28,31 @@ import os as _os
 # Persistent XLA/Mosaic compile cache: megakernel compiles are minutes-cold
 # (TPU remote compile) and identical across runs — cache them so the CLI /
 # viewer / server start fast after the first session. Respect any cache the
-# environment (e.g. the test harness) already configured.
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_rtt")
+# environment (e.g. the test harness) already configured; the path is
+# per-user so /tmp never collides across accounts.
+_CACHE_DIR = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_cache_rtt_{_os.getuid()}"
+)
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def _ensure_compile_cache() -> None:
+    """Apply the cache via jax.config too — the env var is a no-op when
+    jax was imported before this package."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    except Exception:  # never let cache plumbing break imports
+        pass
 
 from ray_tracing_tpu.config import RenderConfig
 from ray_tracing_tpu.scene.types import Scene, ObjectSpec, OBJ_NONE, OBJ_SPHERE, OBJ_CUBE
+
+_ensure_compile_cache()  # covers processes that imported jax first
+
 from ray_tracing_tpu.scene.parser import parse_scene_file, parse_scene_string, SceneParseError
 from ray_tracing_tpu.render.camera import Camera
 from ray_tracing_tpu.render.integrator import render_image, render_pixels

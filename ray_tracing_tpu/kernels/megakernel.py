@@ -508,9 +508,11 @@ def _fwd_kernel(
     i, j = pl.program_id(0), pl.program_id(1)
     u, v = _tile_uv(i, j, tile_h, tile_w, width, norm_height, scalars_ref[1])
     if config.pixel_jitter:
-        # stream contract: jitter uniforms are the FIRST two draws
+        # stream contract: jitter uniforms are the FIRST two draws.
+        # v jitter spans one GLOBAL pixel row (norm_height) — the slice
+        # height would over-jitter sharded renders by n_tiles rows
         u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
-        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(height - 1, 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(norm_height - 1, 1)
     draws = StreamingDraws((tile_h, tile_w), config, light_index >= 0)
     outs = tile_physics(scene, cam_ref, u, v, draws, config, (tile_h, tile_w))
     for ref, val in zip(out_refs, outs):
@@ -544,9 +546,9 @@ def _bwd_kernel(
     i, j = pl.program_id(0), pl.program_id(1)
     u, v = _tile_uv(i, j, tile_h, tile_w, width, norm_height, scalars_ref[1])
     if config.pixel_jitter:
-        # same stream position as the forward's jitter draws
+        # same stream position AND same amplitudes as the forward's jitter
         u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
-        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(height - 1, 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(norm_height - 1, 1)
 
     # Regenerate the forward's exact random stream for this tile, BEFORE
     # tracing the differentiable closure (the PRNG is stateful).
@@ -661,9 +663,9 @@ def _bwd_kernel_replay(
     i, j = pl.program_id(0), pl.program_id(1)
     u, v = _tile_uv(i, j, tile_h, tile_w, width, norm_height, scalars_ref[1])
     if config.pixel_jitter:
-        # same stream position as the forward's jitter draws
+        # same stream position AND same amplitudes as the forward's jitter
         u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
-        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(height - 1, 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(norm_height - 1, 1)
 
     draws = PrecomputedDraws((tile_h, tile_w), config, light_index >= 0)
     view = SceneView(scene_ref, obj_type, light_index)

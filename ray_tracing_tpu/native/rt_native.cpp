@@ -450,8 +450,10 @@ void reader_main() {
         pending = 0;
         for (ssize_t i = 0; i < k; i++) {
             char ch = buf[i];
-            if (ch == '\x1b' && i + 1 >= k) {
-                // partial sequence at buffer end: carry to the next read
+            if (ch == '\x1b' &&
+                (i + 1 >= k || (buf[i + 1] == 'O' && i + 2 >= k))) {
+                // partial ESC / SS3 at buffer end: carry to the next read
+                // (a split "\x1bO" must not fall through as a bare ESC)
                 pending = static_cast<size_t>(k - i);
                 memmove(buf, buf + i, pending);
                 break;

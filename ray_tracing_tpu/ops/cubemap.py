@@ -116,9 +116,20 @@ def _unpack(t) -> Vec3:
     )
 
 
+def _fetch_flat(cubemap: CubemapData, flat) -> Vec3:
+    """Texel fetch at flat indices: one gather (packed) or three (float)."""
+    if cubemap.packed is not None:
+        return _unpack(jnp.take(cubemap.packed, flat))
+    return Vec3(
+        jnp.take(cubemap.r, flat),
+        jnp.take(cubemap.g, flat),
+        jnp.take(cubemap.b, flat),
+    )
+
+
 def _fetch(cubemap: CubemapData, face, y, x) -> Vec3:
-    """Texel fetch at integer coords. One gather (packed) or three (float);
-    1x1 cubemaps use a gather-free 6-way select."""
+    """Texel fetch at integer coords; 1x1 cubemaps use a gather-free 6-way
+    select."""
     if cubemap.h == 1 and cubemap.w == 1:
         if cubemap.packed is not None:
             texels = [_unpack(cubemap.packed[k]) for k in range(6)]
@@ -129,14 +140,7 @@ def _fetch(cubemap: CubemapData, face, y, x) -> Vec3:
             out = Vec3.where(face == k, texels[k].broadcast_to(face.shape), out)
         return out
 
-    flat = (face * cubemap.h + y) * cubemap.w + x
-    if cubemap.packed is not None:
-        return _unpack(jnp.take(cubemap.packed, flat))
-    return Vec3(
-        jnp.take(cubemap.r, flat),
-        jnp.take(cubemap.g, flat),
-        jnp.take(cubemap.b, flat),
-    )
+    return _fetch_flat(cubemap, (face * cubemap.h + y) * cubemap.w + x)
 
 
 def sample_cubemap(cubemap: CubemapData, d: Vec3, bilinear: bool = False) -> Vec3:
@@ -151,14 +155,17 @@ def sample_cubemap(cubemap: CubemapData, d: Vec3, bilinear: bool = False) -> Vec
     roughness. Face choice and texel indices stay detached (standard
     texture-filter autodiff semantics).
     """
+    if not bilinear:
+        if cubemap.h == 1 and cubemap.w == 1:
+            face, _, _ = face_uv(d)
+            return _fetch(cubemap, face, 0, 0)
+        # the SAME flat-index math the sparse sky cache keys on — a single
+        # helper keeps cache reuse exact by construction
+        return _fetch_flat(cubemap, texel_flat_index(cubemap, d))
+
     face, u, v = face_uv(d)
     u = 0.5 * (jnp.clip(u, -1.0, 1.0) + 1.0)
     v = 0.5 * (jnp.clip(v, -1.0, 1.0) + 1.0)
-
-    if not bilinear:
-        x = (u * (cubemap.w - 1)).astype(jnp.int32)  # C trunc; operand >= 0
-        y = (v * (cubemap.h - 1)).astype(jnp.int32)
-        return _fetch(cubemap, face, y, x)
 
     fx = u * (cubemap.w - 1)
     fy = v * (cubemap.h - 1)
