@@ -66,7 +66,9 @@ setInterval(async () => {
 class RenderService:
     """Owns the device: progressive passes + event handling in one thread."""
 
-    def __init__(self, scene, width, height, config, cubemap, use_pallas):
+    def __init__(self, scene, width, height, config, cubemap, use_pallas,
+                 film_checkpoint: str | None = None,
+                 film_checkpoint_every: int = 64):
         import jax
 
         from ray_tracing_tpu.render.camera import Camera
@@ -95,6 +97,10 @@ class RenderService:
         self.running = True
         self.passes_done = 0
         self.started = time.time()
+        self.film_checkpoint = film_checkpoint
+        self.film_checkpoint_every = film_checkpoint_every
+        if film_checkpoint:
+            self._restore_film_state()
 
         if use_pallas:
             import functools
@@ -157,6 +163,71 @@ class RenderService:
             self.camera = Camera.default()
             self.invalidate()
 
+    def _restore_film_state(self):
+        """Resume a long progressive render across restarts: the Film AND
+        the camera pose it was accumulated at are restored together (a
+        film is only meaningful for its own pose)."""
+        import jax.numpy as jnp
+
+        from ray_tracing_tpu.diff.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(self.film_checkpoint)
+        if state is None:
+            return
+        try:
+            import dataclasses
+
+            from ray_tracing_tpu.ops.vec import Vec3
+            from ray_tracing_tpu.render.film import Film
+
+            film = Film(
+                accum=Vec3(
+                    jnp.asarray(state["accum_x"]),
+                    jnp.asarray(state["accum_y"]),
+                    jnp.asarray(state["accum_z"]),
+                ),
+                weight=jnp.asarray(state["weight"], jnp.float32),
+            )
+            if film.accum.shape != (self.height, self.width):
+                return  # resolution changed: start fresh
+            self.camera = dataclasses.replace(
+                self.camera,
+                pos=jnp.asarray(state["cam_pos"]),
+                front=jnp.asarray(state["cam_front"]),
+                up=jnp.asarray(state["cam_up"]),
+                yaw=jnp.asarray(state["cam_yaw"], jnp.float32),
+                pitch=jnp.asarray(state["cam_pitch"], jnp.float32),
+            )
+            self.film = film
+            self.pass_i = len(self.scales)  # past the pyramid: full-res
+            self.passes_done = int(state.get("passes", 0))
+            print(f"Resumed film at weight {float(film.weight):.1f} "
+                  f"({self.passes_done} passes)", file=sys.stderr)
+        except (KeyError, TypeError) as e:
+            print(f"Film checkpoint unusable ({e}); starting fresh",
+                  file=sys.stderr)
+
+    def _save_film_state(self):
+        from ray_tracing_tpu.diff.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            self.film_checkpoint,
+            {
+                "film_tag": np.int32(1),
+                "accum_x": self.film.accum.x,
+                "accum_y": self.film.accum.y,
+                "accum_z": self.film.accum.z,
+                "weight": self.film.weight,
+                "cam_pos": self.camera.pos,
+                "cam_front": self.camera.front,
+                "cam_up": self.camera.up,
+                "cam_yaw": self.camera.yaw,
+                "cam_pitch": self.camera.pitch,
+                "passes": np.int32(self.passes_done),
+            },
+            step=0,  # one rolling slot — latest state wins
+        )
+
     def run(self):
         key = self.jax.random.key(int(time.time()))
         while self.running:
@@ -175,6 +246,11 @@ class RenderService:
                 self.width // scale, self.height // scale, 1, self.config))
             self.pass_i += 1
             self.passes_done += 1
+            if (
+                self.film_checkpoint
+                and self.passes_done % self.film_checkpoint_every == 0
+            ):
+                self._save_film_state()
 
     def snapshot_png(self) -> bytes:
         from PIL import Image
@@ -275,6 +351,9 @@ def main(argv=None):
     p.add_argument("--kernel", choices=["pallas", "xla"], default="pallas")
     p.add_argument("--no-skybox", action="store_true")
     p.add_argument("--assets", default="/root/reference/assets")
+    p.add_argument("--film-checkpoint", default=None,
+                   help="directory: save/resume the accumulation state "
+                        "(film + camera pose) across restarts")
     args = p.parse_args(argv)
 
     import jax
@@ -295,7 +374,8 @@ def main(argv=None):
             cubemap = constant_sky((0.6, 0.7, 0.9))
 
     use_pallas = args.kernel == "pallas" and jax.default_backend() != "cpu"
-    svc = RenderService(scene, args.width, args.height, config, cubemap, use_pallas)
+    svc = RenderService(scene, args.width, args.height, config, cubemap,
+                        use_pallas, film_checkpoint=args.film_checkpoint)
     threading.Thread(target=svc.run, daemon=True).start()
 
     server = ThreadingHTTPServer((args.host, args.port), make_handler(svc))

@@ -111,3 +111,41 @@ def test_mouse_look_endpoint(server):
     # dx=30 -> yaw += 3.0; dy=-10 (up) -> pitch += 1.0
     assert float(svc.camera.yaw) == pytest.approx(yaw0 + 3.0)
     assert float(svc.camera.pitch) == pytest.approx(1.0)
+
+
+def test_film_checkpoint_resume(tmp_path):
+    """A restarted service resumes the accumulated film AND the camera
+    pose it was rendered at."""
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3),
+    ])
+    cfg = RenderConfig(bounces=1, shadow_samples=1, init_scale=2)
+    ck = str(tmp_path / "film")
+
+    svc = RenderService(scene, 24, 16, cfg, constant_sky((0.4, 0.5, 0.6)),
+                        use_pallas=False, film_checkpoint=ck,
+                        film_checkpoint_every=4)
+    t = threading.Thread(target=svc.run, daemon=True)
+    t.start()
+    deadline = time.time() + 120
+    while time.time() < deadline and svc.passes_done < 5:
+        time.sleep(0.2)
+    svc.handle("d")  # move: pose + film state change before the next save
+    while time.time() < deadline and svc.passes_done < 12:
+        time.sleep(0.2)
+    svc.running = False
+    t.join(timeout=30)
+    svc._save_film_state()
+    w0 = float(svc.film.weight)
+    pose0 = svc.camera.pos
+
+    svc2 = RenderService(scene, 24, 16, cfg, constant_sky((0.4, 0.5, 0.6)),
+                         use_pallas=False, film_checkpoint=ck)
+    assert float(svc2.film.weight) == pytest.approx(w0)
+    np.testing.assert_allclose(np.asarray(svc2.camera.pos), np.asarray(pose0))
+    assert svc2.passes_done > 0
+
+    # a resolution change falls back to a fresh film, not a crash
+    svc3 = RenderService(scene, 32, 24, cfg, constant_sky((0.4, 0.5, 0.6)),
+                         use_pallas=False, film_checkpoint=ck)
+    assert float(svc3.film.weight) == 0.0
