@@ -216,3 +216,38 @@ def test_moved_pose_parity(reference_dir, tmp_path):
     ds = lambda a: a.reshape(h // 4, 4, w // 4, 4, 3).mean(axis=(1, 3))
     assert np.abs(ds(img) - ds(ref)).mean() < 0.02
     assert abs(img.mean() - ref.mean()) < 0.012
+
+
+@pytest.mark.skipif(not SLOW, reason="compiles + renders the reference; RTT_SLOW=1")
+@pytest.mark.parametrize("seed", [5, 31])
+def test_fuzz_parity_random_scenes_skybox(seed, tmp_path, reference_dir):
+    """Fuzz parity with the REAL 2048^2 skybox: exercises the gather path
+    (face select, uv, nearest texel) under random geometry. Slightly looser
+    than the const-sky fuzz — the oracle decodes JPEGs with stb_image, the
+    framework with PIL (IDCT differences of a few /255 on some texels)."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+    dsl = _random_scene_dsl(rng, int(rng.integers(4, 10)))
+    scene_file = tmp_path / "fuzz.txt"
+    scene_file.write_text(dsl)
+
+    subprocess.run(["make", "-s"], cwd=ORACLE_DIR, check=True)
+    out = tmp_path / "oracle.f32"
+    w, h = 64, 48
+    subprocess.run(
+        [str(ORACLE_DIR / "oracle"), str(scene_file), str(w), str(h), "768",
+         str(out)],
+        check=True, capture_output=True,
+    )
+    ref = np.fromfile(out, np.float32).reshape(h, w, 3)
+
+    scene = parse_scene_file(str(scene_file))
+    img = np.asarray(
+        render_image(scene, Camera.default(), w, h, jax.random.key(0),
+                     spp=64, cubemap=load_cubemap(reference_dir / "assets"))
+    )
+    ds = lambda a: a.reshape(h // 4, 4, w // 4, 4, 3).mean(axis=(1, 3))
+    ds_mae = np.abs(ds(img) - ds(ref)).mean()
+    assert ds_mae < 0.025, f"seed {seed}: ds_mae={ds_mae:.4f}\n{dsl}"
+    assert abs(img.mean() - ref.mean()) < 0.015, f"seed {seed}\n{dsl}"
