@@ -336,12 +336,14 @@ def test_sharded_pallas_train_step_on_tpu():
     assert err1 < 0.3 * err0
 
 
-def test_path_replay_grads_match_xla_autodiff():
-    """Path replay (the large-scene Pallas backward's math) in pure XLA:
+@pytest.mark.parametrize("n_objects", [9, 60])
+def test_path_replay_grads_match_xla_autodiff(n_objects):
+    """Path replay (the default Pallas backward's math) in pure XLA:
     record winners, vjp the replayed tile_physics, route with one-hot
     matmuls — must match direct autodiff of tile_physics through the
-    differentiable scan trace, including NEE emission and light-origin
-    gradients. 60 objects > UNROLL_LIMIT exercises the scan path."""
+    differentiable trace, including NEE emission and light-origin
+    gradients. 9 objects exercises the UNROLLED record path (small-scene
+    default), 60 the packed-row scan path (> UNROLL_LIMIT)."""
     import dataclasses
 
     from ray_tracing_tpu.kernels import megakernel as mk
@@ -349,7 +351,7 @@ def test_path_replay_grads_match_xla_autodiff():
 
     rng = np.random.default_rng(1)
     objs = []
-    for i in range(60):
+    for i in range(n_objects):
         if i % 3 == 0:
             objs.append(ObjectSpec(
                 kind="cube", p0=tuple(rng.uniform(-6, 6, 3)),
@@ -365,7 +367,7 @@ def test_path_replay_grads_match_xla_autodiff():
                 reflectance=float(rng.uniform()),
                 emission_power=2.0 if i == 7 else 0.0))
     base = Scene.from_objects(objs)
-    assert base.num_objects == 60 and base.light_index == 7
+    assert base.num_objects == n_objects and base.light_index == 7
 
     cfg = RenderConfig(bounces=3, shadow_samples=2)
     cam = Camera.default()
@@ -421,7 +423,7 @@ def test_path_replay_grads_match_xla_autodiff():
             base, p0=rows[:, 0:3], p1=rows[:, 3:6], albedo=rows[:, 6:9],
             roughness=rows[:, 9], reflectance=rows[:, 10],
             metallic=rows[:, 11], emission_color=rows[:, 12:15],
-            emission_power=jnp.ones(60, jnp.float32),
+            emission_power=jnp.ones(n_objects, jnp.float32),
         )
         outs = mk.tile_physics(s, cam_arr[0], u, v, draws, cfg, shape)
         return sum(jnp.vdot(o, c) for o, c in zip(outs, cotangents))
@@ -446,7 +448,7 @@ def test_path_replay_grads_match_xla_autodiff():
 
     _, vjpf = jax.vjp(f, records, cam_pack, light_geom)
     g_records, g_cam_r, g_light = vjpf(cotangents)
-    G = np.array(mk._route_record_grads(60, records, g_records))
+    G = np.array(mk._route_record_grads(n_objects, records, g_records))
     gp0, gp1 = g_light
     G[li, 0:3] += [float(gp0.x), float(gp0.y), float(gp0.z)]
     G[li, 3:6] += [float(gp1.x), float(gp1.y), float(gp1.z)]
