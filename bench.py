@@ -30,7 +30,11 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_rtt")
+# per-uid path, same as ray_tracing_tpu/__init__.py (a shared /tmp dir
+# breaks multi-user hosts: first owner wins, everyone else gets EACCES)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_cache_rtt_{os.getuid()}"
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""MFU / roofline report (VERDICT r2 directive #1).
+
+For the two reference workloads (scene_2 mirrors, scene_0 NEE room, both
+1920x1080 full reference physics — /root/reference/src/main.c:131-272):
+
+  1. count the kernel's f32 FLOPs with XLA's own cost analysis over the
+     exact tile_physics / replay-vjp graphs (utils/flops.py),
+  2. measure wall time with the one-jit spp-accumulation methodology
+     (BENCH_NOTES.md), and
+  3. divide by the *measured* VPU FMA peak of this chip (FMA-chain Pallas
+     microbenchmark) => MFU%.
+
+The path tracer is VPU-bound elementwise math (select/compare/fma +
+rsqrt), so the VPU FMA peak is the correct light-speed ceiling; the MXU
+peak is unreachable by non-matmul code by construction. Sky-gather and
+compose work is excluded from the FLOP count (counted time includes it),
+so every MFU% printed here is a *floor*.
+
+Usage:  python benchmarks/mfu.py [--quick] [--profile DIR] [--write]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from ray_tracing_tpu import Camera, RenderConfig
+from ray_tracing_tpu.io.image import load_cubemap
+from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+from ray_tracing_tpu.ops.cubemap import constant_sky
+from ray_tracing_tpu.scene.parser import parse_scene_file
+from ray_tracing_tpu.utils import flops as F
+
+WIDTH, HEIGHT = 1920, 1080
+
+
+def cpu_ctx():
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
+def timed(fn, *args, n):
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--profile", default=None,
+                    help="jax.profiler trace dir (one fwd+bwd step)")
+    ap.add_argument("--scenes", default="scene_2,scene_0")
+    args = ap.parse_args()
+
+    spp_fwd = 8 if args.quick else 32
+    spp_bwd = 4 if args.quick else 8
+    cam = Camera.default()
+    config = RenderConfig()
+    skybox = load_cubemap()
+    const = constant_sky((0.6, 0.7, 0.9))
+    px = WIDTH * HEIGHT
+
+    print("measuring VPU peak (FMA chains)...", file=sys.stderr)
+    peak = F.measured_vpu_peak()
+    print(f"VPU peak (measured, f32 FMA): {peak/1e12:.2f} TFLOP/s")
+
+    rows = []
+    for name in args.scenes.split(","):
+        scene = parse_scene_file(f"/root/reference/{name}.txt")
+
+        with cpu_ctx():
+            phys = F.physics_cost_per_pixel(scene, config)
+            bwd_vjp = F.replay_vjp_cost_per_pixel(scene, config)
+        prng = F.prng_flops_per_pixel(config, scene.has_light)
+        fwd_flops = phys["flops_per_px"] + prng
+        # grad() runtime = fwd kernel + bwd kernel(recording pass + replay
+        # vjp); routing matmuls are MXU-side and excluded from VPU flops.
+        fwdbwd_flops = 2 * fwd_flops + bwd_vjp["flops_per_px"]
+
+        def fwd(cubemap, spp):
+            @jax.jit
+            def f(scene, seed):
+                return jnp.sum(render_image_pallas(
+                    scene, cam, WIDTH, HEIGHT, seed, spp=spp, config=config,
+                    cubemap=cubemap))
+            return f
+
+        def bwd(cubemap, spp):
+            def loss(scene, seed):
+                return jnp.sum(render_image_pallas(
+                    scene, cam, WIDTH, HEIGHT, seed, spp=spp, config=config,
+                    cubemap=cubemap))
+            return jax.jit(jax.grad(loss))
+
+        t_const = timed(fwd(const, spp_fwd), scene, 1, n=spp_fwd)
+        t_sky = timed(fwd(skybox, spp_fwd), scene, 1, n=spp_fwd)
+        bwd_f = bwd(skybox, spp_bwd)
+        t_bwd = timed(bwd_f, scene, 1, n=spp_bwd)
+
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                jax.block_until_ready(bwd_f(scene, 2))
+            print(f"profiler trace -> {args.profile}", file=sys.stderr)
+
+        def row(label, t, fl):
+            tf = fl * px / t / 1e12
+            return {
+                "scene": name, "case": label, "ms_per_sample": t * 1e3,
+                "flops_per_px": fl, "tflops": tf, "mfu_pct": 100 * tf * 1e12 / peak,
+            }
+
+        rows.append(row("fwd const-sky", t_const, fwd_flops))
+        rows.append(row("fwd skybox", t_sky, fwd_flops))
+        rows.append(row("fwd+bwd skybox", t_bwd, fwdbwd_flops))
+        print(f"  {name}: physics {phys['flops_per_px']:.0f} flops/px "
+              f"(+{phys['transcendentals_per_px']:.0f} transc, {prng:.0f} prng), "
+              f"replay-vjp {bwd_vjp['flops_per_px']:.0f} flops/px, "
+              f"routing {F.routing_mxu_flops_per_pixel(scene, config):.0f} MXU flops/px",
+              file=sys.stderr)
+
+    print("\n| scene | case | ms/sample | flops/px | TFLOP/s | MFU% of VPU peak |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['scene']} | {r['case']} | {r['ms_per_sample']:.2f} | "
+              f"{r['flops_per_px']:.0f} | {r['tflops']:.2f} | {r['mfu_pct']:.1f} |")
+    print(json.dumps({"vpu_peak_tflops": round(peak / 1e12, 2), "rows": [
+        {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()}
+        for r in rows]}))
+
+
+if __name__ == "__main__":
+    main()

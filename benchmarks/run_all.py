@@ -53,6 +53,11 @@ def main():
          RenderConfig(bounces=4, shadow_samples=3)),
         ("scene_2 1920x1080 full physics", "scene_2", 1920, 1080,
          8 if args.quick else 32, full),
+        # pixel-jitter AA defeats the sparse sky cache's index-reuse
+        # premise (config.py pixel_jitter note) — this row measures the
+        # real cost an AA user pays on the skybox workload
+        ("scene_2 1920x1080 full + pixel-jitter AA", "scene_2", 1920, 1080,
+         8 if args.quick else 32, full.replace(pixel_jitter=True)),
         ("scene_0 1920x1080 full physics", "scene_0", 1920, 1080,
          4 if args.quick else 16, full),
     ]

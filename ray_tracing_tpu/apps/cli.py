@@ -156,7 +156,9 @@ def main(argv=None):
 
     viewer = Viewer(scene, camera, view_w, view_h, config, render_fn)
     print("Workers started (device render loop)", file=sys.stderr)
-    run_interactive(viewer)
+    # auto_resize: re-fit the render to the terminal every frame — the
+    # reference reallocates its buffers on window resize (src/main.c:416-448)
+    run_interactive(viewer, auto_resize=True)
     return 0
 
 

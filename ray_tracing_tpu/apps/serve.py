@@ -163,16 +163,36 @@ class RenderService:
             self.camera = Camera.default()
             self.invalidate()
 
+    def _film_digest(self):
+        """Identity of what the film accumulates: scene geometry/materials,
+        physics config and resolution. A checkpoint from a different scene
+        or config must NOT be blended into this render (it would display
+        stale radiance until the camera moves)."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(np.asarray(self.scene.packed_rows()).tobytes())
+        h.update(repr(self.config).encode())
+        h.update(np.asarray([self.width, self.height], np.int64).tobytes())
+        return np.frombuffer(h.digest()[:8], dtype=np.int64)[0]
+
     def _restore_film_state(self):
         """Resume a long progressive render across restarts: the Film AND
         the camera pose it was accumulated at are restored together (a
-        film is only meaningful for its own pose)."""
+        film is only meaningful for its own pose), gated on the
+        scene/config digest matching."""
         import jax.numpy as jnp
 
         from ray_tracing_tpu.diff.checkpoint import restore_checkpoint
 
         state = restore_checkpoint(self.film_checkpoint)
         if state is None:
+            return
+        if "digest" in state and int(np.asarray(state["digest"])) != int(
+            self._film_digest()
+        ):
+            print("Film checkpoint is for a different scene/config; "
+                  "starting fresh", file=sys.stderr)
             return
         try:
             import dataclasses
@@ -224,6 +244,7 @@ class RenderService:
                 "cam_yaw": self.camera.yaw,
                 "cam_pitch": self.camera.pitch,
                 "passes": np.int32(self.passes_done),
+                "digest": self._film_digest(),
             },
             step=0,  # one rolling slot — latest state wins
         )
@@ -376,14 +397,30 @@ def main(argv=None):
     use_pallas = args.kernel == "pallas" and jax.default_backend() != "cpu"
     svc = RenderService(scene, args.width, args.height, config, cubemap,
                         use_pallas, film_checkpoint=args.film_checkpoint)
-    threading.Thread(target=svc.run, daemon=True).start()
+    render_thread = threading.Thread(target=svc.run, daemon=True)
+    render_thread.start()
 
     server = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
     print(f"Serving on http://{args.host}:{args.port}", file=sys.stderr)
+
+    # SIGTERM (systemd/k8s stop) takes the same graceful path as Ctrl-C so
+    # the film tail since the last periodic save is never lost.
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         svc.running = False
+        if svc.film_checkpoint:
+            # let the in-flight pass land, then save the tail (up to
+            # film_checkpoint_every-1 passes since the last periodic save)
+            render_thread.join(timeout=30.0)
+            svc._save_film_state()
+            print("Final film checkpoint saved", file=sys.stderr)
     return 0
 
 

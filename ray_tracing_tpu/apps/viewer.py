@@ -85,6 +85,20 @@ def poll_events(timeout: float = 0.0):
                     _pending = ch[i:]  # incomplete CSI: wait for the rest
                     break
                 seq = ch[i : j + 1]
+                if seq == "\x1b[M":
+                    # X10 mouse report: ESC [ M + 3 raw payload bytes
+                    # (button+32, x+32, y+32). Terminals without SGR-1006
+                    # answer ?1003h in this encoding; the payload bytes are
+                    # printable and MUST NOT fall through to the key switch
+                    # (they would inject spurious WASD moves or even quit).
+                    if j + 4 > len(ch):
+                        _pending = ch[i:]  # payload split across reads
+                        break
+                    b, x, y = (ord(t) - 32 for t in ch[j + 1 : j + 4])
+                    if b & 32:  # motion
+                        events.append((EV_MOUSE, (float(x), float(y))))
+                    i = j + 4
+                    continue
                 if seq in _LOOK_KEYS:
                     events.append((EV_LOOK, _LOOK_KEYS[seq]))
                 elif seq.startswith("\x1b[<") and seq[-1] in "Mm":

