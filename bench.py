@@ -23,12 +23,15 @@ that ignores shading/RNG/sync overhead the real program pays.
 
 Timing method: N samples accumulated on-device inside one jit call
 (per-call dispatch through the TPU tunnel costs ~40ms and would swamp
-per-frame timing); the scalar reduction is the only host transfer.
+per-frame timing); the scalar reduction is the only host transfer. The
+wall clock is read with utils/timing.timed_marginal — per-call marginal
+difference with distinct seeds and host materialization, so client-side
+request caching, a non-blocking block_until_ready, and fixed dispatch/
+fetch overheads all cancel out of the reported number.
 """
 
 import json
 import os
-import time
 
 # per-uid path, same as ray_tracing_tpu/__init__.py (a shared /tmp dir
 # breaks multi-user hosts: first owner wins, everyone else gets EACCES)
@@ -39,6 +42,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ray_tracing_tpu.utils.timing import timed_marginal
 
 REF_CPU_MRAYS_32T = 290.6  # see module docstring
 
@@ -62,11 +70,13 @@ def main():
     traces_per_sample = config.bounces * (1 + config.shadow_samples)
     rays_fwd = WIDTH * HEIGHT * traces_per_sample
 
-    def timed(fn, *args, spp):
-        jax.block_until_ready(fn(*args))  # compile + warm
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        return (time.perf_counter() - t0) / spp
+    def timed(fn, scene, *, spp):
+        # marginal timing with per-call distinct seeds + host materialization
+        # (utils/timing.py): immune to client-side request caching, to a
+        # non-blocking block_until_ready, and to fixed dispatch/fetch costs.
+        make_args = lambda i: (scene, 1000 + i)
+        jax.block_until_ready(fn(*make_args(-1)))  # compile + warm
+        return timed_marginal(fn, make_args, repeats=2) / spp
 
     def mrays(dt):
         return rays_fwd / dt / 1e6
@@ -91,11 +101,11 @@ def main():
         return jax.jit(jax.grad(loss))
 
     # ---- headline: real skybox, fwd+bwd ----
-    sky_bwd = mrays(timed(bwd_fn(skybox), scene, 1, spp=SPP_BWD))
-    sky_fwd = mrays(timed(fwd_fn(skybox), scene, 1, spp=SPP_FWD))
+    sky_bwd = mrays(timed(bwd_fn(skybox), scene, spp=SPP_BWD))
+    sky_fwd = mrays(timed(fwd_fn(skybox), scene, spp=SPP_FWD))
     # ---- secondary: gather-free constant sky (fwd only; its fwd+bwd is
     # measured in BENCH_NOTES.md — one fewer multi-minute compile here) ----
-    const_fwd = mrays(timed(fwd_fn(const), scene, 1, spp=SPP_FWD))
+    const_fwd = mrays(timed(fwd_fn(const), scene, spp=SPP_FWD))
 
     print(
         json.dumps(

@@ -36,6 +36,7 @@ from ray_tracing_tpu.kernels.megakernel import render_image_pallas
 from ray_tracing_tpu.ops.cubemap import constant_sky
 from ray_tracing_tpu.scene.parser import parse_scene_file
 from ray_tracing_tpu.utils import flops as F
+from ray_tracing_tpu.utils.timing import timed_marginal
 
 WIDTH, HEIGHT = 1920, 1080
 
@@ -49,11 +50,12 @@ def cpu_ctx():
         return contextlib.nullcontext()
 
 
-def timed(fn, *args, n):
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / n
+def timed(fn, scene, *, n):
+    """Marginal per-call time (utils/timing.py) / n samples. Seeds vary
+    per call so no two dispatches are identical requests."""
+    make_args = lambda i: (scene, 1000 + i)
+    jax.block_until_ready(fn(*make_args(-1)))  # compile + warm
+    return timed_marginal(fn, make_args, repeats=2) / n
 
 
 def main():
@@ -73,8 +75,16 @@ def main():
     px = WIDTH * HEIGHT
 
     print("measuring VPU peak (FMA chains)...", file=sys.stderr)
-    peak = F.measured_vpu_peak()
-    print(f"VPU peak (measured, f32 FMA): {peak/1e12:.2f} TFLOP/s")
+    pk = F.measured_vpu_peak()
+    peak, ratio = pk["flops_per_s"], pk["ratio"]
+    if not 1.6 <= ratio <= 2.5:
+        raise SystemExit(
+            f"VPU peak self-check failed: t(2N)/t(N) = {ratio:.2f} (want ~2). "
+            "The FMA loop was folded or the timing never saw the execution — "
+            "refusing to report an MFU built on a bogus ceiling."
+        )
+    print(f"VPU peak (measured, f32 FMA): {peak/1e12:.2f} TFLOP/s "
+          f"(iters-doubling ratio {ratio:.2f})")
 
     rows = []
     for name in args.scenes.split(","):
@@ -104,10 +114,10 @@ def main():
                     cubemap=cubemap))
             return jax.jit(jax.grad(loss))
 
-        t_const = timed(fwd(const, spp_fwd), scene, 1, n=spp_fwd)
-        t_sky = timed(fwd(skybox, spp_fwd), scene, 1, n=spp_fwd)
+        t_const = timed(fwd(const, spp_fwd), scene, n=spp_fwd)
+        t_sky = timed(fwd(skybox, spp_fwd), scene, n=spp_fwd)
         bwd_f = bwd(skybox, spp_bwd)
-        t_bwd = timed(bwd_f, scene, 1, n=spp_bwd)
+        t_bwd = timed(bwd_f, scene, n=spp_bwd)
 
         if args.profile:
             with jax.profiler.trace(args.profile):

@@ -128,61 +128,98 @@ def prng_flops_per_pixel(config: RenderConfig, has_light: bool) -> float:
 # Measured VPU peak (FMA chains)
 # ---------------------------------------------------------------------------
 
-_PEAK_TILE = (256, 256)
+# One (8,128) f32 vreg-shaped block per chain: 8 chains fit the vector
+# register file, so the fori body is pure ALU work with no VMEM streaming
+# (a 256x256 block would round-trip VMEM every iteration and measure
+# bandwidth, not the ALUs).
+_PEAK_TILE = (8, 128)
 _PEAK_CHAINS = 8
-_PEAK_ITERS = 256
 
 
-def _peak_kernel(a_ref, o_ref):
+def _peak_kernel(a_ref, o_ref, *, iters):
     a = a_ref[...]
-    accs = [a * (1.0 + 0.001 * k) for k in range(_PEAK_CHAINS)]
+    accs = [a + 0.01 * k for k in range(_PEAK_CHAINS)]
 
-    def body(i, accs):
-        # independent FMA chains: 2 flops per element per chain per iter
-        return tuple(x * 1.000001 + 0.3 for x in accs)
+    def body(_, accs):
+        # x <- x*x + a: ONE fma (2 flops) per element per chain per iter.
+        # Quadratic in the carry and per-ELEMENT in `a` (a traced input
+        # block, distinct per grid step), so neither constant folding nor
+        # the affine strength-reduction that defeated an earlier x*c+k
+        # version of this kernel can collapse the loop.
+        return tuple(x * x + a for x in accs)
 
-    accs = jax.lax.fori_loop(0, _PEAK_ITERS, body, tuple(accs))
+    accs = jax.lax.fori_loop(0, iters, body, tuple(accs))
     out = accs[0]
     for x in accs[1:]:
         out = out + x
     o_ref[...] = out
 
 
-def measured_vpu_peak(grid: int = 128, reps: int = 8) -> float:
-    """Achieved f32 FLOP/s of pure FMA chains on this chip's VPU (Pallas,
-    same one-jit timing methodology as the render benchmarks)."""
-    import time
+def measured_vpu_peak(grid: int = 512, iters: int = 256) -> dict:
+    """Achieved f32 FLOP/s of pure FMA chains on this chip's VPU.
+
+    Double-marginal methodology (utils/timing.py): per-call time is the
+    difference between a 2-call and a 1-call window with distinct inputs
+    and host materialization (immune to client-side result caching, to a
+    non-blocking block_until_ready, and to fixed dispatch/fetch costs);
+    per-ITERATION time is the difference between an `iters` and a
+    `2*iters` kernel, cancelling pipeline/grid overhead inside the call.
+
+    Returns {"flops_per_s", "ratio"}: ratio = t(2N)/t(N) per call, which
+    must be ~2.0 — a ratio near 1.0 means the loop was folded away or the
+    measurement never saw the execution, and the result must not be
+    trusted (the caller should raise)."""
+    import functools
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from ray_tracing_tpu.utils.timing import timed_marginal
+
     th, tw = _PEAK_TILE
-    a = jnp.ones((th, tw), jnp.float32)
 
-    call = pl.pallas_call(
-        _peak_kernel,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((th, tw), lambda i: (0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((th, tw), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((th, tw), jnp.float32),
+    def build(n_iters):
+        call = pl.pallas_call(
+            functools.partial(_peak_kernel, iters=n_iters),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((th, tw), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (th, tw), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((grid * th, tw), jnp.float32),
+        )
+
+        @jax.jit
+        def run(a):
+            return jnp.sum(call(a))
+
+        return run
+
+    base = (
+        jax.lax.broadcasted_iota(jnp.int32, (grid * th, tw), 0).astype(jnp.float32)
+        * 1e-6
+        + 0.25
     )
+    base = jax.device_put(base)
 
-    @jax.jit
-    def run(a):
-        def body(acc, _):
-            return acc + jnp.sum(call(a)), None
+    def make_args(i):
+        a = base * (1.0 + 1e-6 * i)
+        return (jax.block_until_ready(a),)
 
-        total, _ = jax.lax.scan(body, 0.0, None, length=reps)
-        return total
+    run_s, run_b = build(iters), build(2 * iters)
+    jax.block_until_ready(run_s(*make_args(-1)))  # compile
+    jax.block_until_ready(run_b(*make_args(-2)))
+    t_s = timed_marginal(run_s, make_args, repeats=3)
+    t_b = timed_marginal(run_b, make_args, repeats=3)
 
-    jax.block_until_ready(run(a))  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(a))
-    dt = (time.perf_counter() - t0) / reps
-    # fori adds per-iter loop overhead; the sum/init adds ~CHAINS more ops —
-    # both <1%, ignored (conservative: makes the reported peak a floor).
-    flops = 2.0 * _PEAK_CHAINS * _PEAK_ITERS * th * tw * grid
-    return flops / dt
+    elems = grid * th * tw
+    marginal_flops = 2.0 * _PEAK_CHAINS * elems * iters  # (2N - N) iters
+    return {
+        "flops_per_s": marginal_flops / max(t_b - t_s, 1e-12),
+        "ratio": t_b / max(t_s, 1e-12),
+    }
 
 
 def replay_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
