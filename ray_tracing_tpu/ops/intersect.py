@@ -53,11 +53,42 @@ class Hit:
     emission: Vec3        # emission_color * emission_power
 
 
-def intersect_sphere(ro: Vec3, d: Vec3, a, center: Vec3, radius):
+def ray_inverses(d: Vec3):
+    """Per-ray slab reciprocals, hoisted out of the per-object loop.
+
+    The slab denominators are the ray direction's components — object-
+    INDEPENDENT — yet IEEE semantics stop XLA/Mosaic from rewriting
+    `num / den` into `num * (1/den)`, so the naive loop pays 12 divides
+    per cube per ray (2 per slab: the exact branch and the guarded
+    branch). Computing 6 reciprocals once per trace and multiplying turns
+    that into 12 multiplies per cube; a VPU divide is a multi-op
+    reciprocal+Newton sequence, so cube-heavy scenes (scene_0: 6 of 9
+    objects) gain ~2x on intersection arithmetic.
+
+    Returns (zero, safe, raw): per-axis `den == 0` masks, gradient-safe
+    reciprocals (1/den with zero lanes replaced by 1 before the divide, so
+    no inf partial ever meets a zero cotangent), and raw stop_gradient'd
+    reciprocals (signed inf on zero, for the exact miss/parallel branch).
+    """
+    def one(den):
+        zero = den == 0.0
+        safe = 1.0 / jnp.where(zero, 1.0, den)
+        raw = jax.lax.stop_gradient(1.0 / den)
+        return zero, safe, raw
+
+    zx, sx, rx = one(d.x)
+    zy, sy, ry = one(d.y)
+    zz, sz, rz = one(d.z)
+    return (zx, zy, zz), Vec3(sx, sy, sz), Vec3(rx, ry, rz)
+
+
+def intersect_sphere(ro: Vec3, d: Vec3, a, center: Vec3, radius, inv2a=None):
     """t for one sphere against all rays; BIG where no hit (src/scene.c:79-134).
 
     `a = d.dot(d)` is passed in (computed once per trace; the reference
     recomputes it per object but d is already normalized by trace_ray).
+    `inv2a = 0.5/a` may be passed in to hoist the divide out of the
+    per-object loop.
     """
     oc = center - ro
     b = -2.0 * oc.dot(d)
@@ -65,7 +96,8 @@ def intersect_sphere(ro: Vec3, d: Vec3, a, center: Vec3, radius):
     discr = b * b - 4.0 * a * c
     valid = discr > 0
     sq = jnp.sqrt(jnp.where(valid, discr, 0.0))  # where-trick: NaN-free grads
-    inv2a = 0.5 / a
+    if inv2a is None:
+        inv2a = 0.5 / a
     s0 = (-b - sq) * inv2a
     s1 = (-b + sq) * inv2a
     t = jnp.where(s0 < 0, s1, s0)  # nearest non-negative root
@@ -73,7 +105,7 @@ def intersect_sphere(ro: Vec3, d: Vec3, a, center: Vec3, radius):
     return jnp.where(valid, t, BIG)
 
 
-def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3):
+def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3, inv=None):
     """(t, normal) for one AABB against all rays; t=BIG where no hit.
 
     Slab method with the reference's axis bookkeeping (src/scene.c:17-77):
@@ -81,20 +113,38 @@ def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3):
     strictly tighten tnear. Normal faces against the ray's component on the
     hit axis (d > 0 -> -1). tnear < 0 (origin inside) is rejected like the
     reference's t >= 0 check in trace_ray.
+
+    `inv` is a ray_inverses(d) triple; pass it when testing many cubes
+    against the same rays (the reciprocals amortize over the object loop).
     """
-    def slab_t(num, den):
-        # Forward value == IEEE num/den exactly (signed inf / NaN on
-        # axis-parallel rays, like the C code's raw divisions), but the
-        # parallel branch is stop_gradient'd and where-guarded: without
-        # this, inf partials meet zero cotangents (0*inf = NaN) and one
-        # axis-aligned ray poisons every scene gradient through the psum.
-        zero = den == 0.0
-        exact = jax.lax.stop_gradient(num / den)
-        return jnp.where(zero, exact, num / jnp.where(zero, 1.0, den))
+    if inv is None:
+        inv = ray_inverses(d)
+    (zx, zy, zz), safe, raw = inv
+
+    def slab_t(num, zero, safe_inv, raw_inv):
+        # Forward value: num * (1/den). On the parallel (den == 0) branch
+        # the raw reciprocal's signed inf reproduces the C code's raw
+        # division exactly (±inf, NaN for 0*inf) but is stop_gradient'd
+        # and where-guarded: without this, inf partials meet zero
+        # cotangents (0*inf = NaN) and one axis-aligned ray poisons every
+        # scene gradient through the psum. Off the parallel branch the
+        # product differs from IEEE num/den by <= ~2 ulp — inside every
+        # parity tolerance, and fwd/bwd share this exact code path so the
+        # stream bit-identity invariant is untouched.
+        exact = jax.lax.stop_gradient(num) * raw_inv
+        return jnp.where(zero, exact, num * safe_inv)
 
     num_a, num_b = lo - ro, hi - ro
-    t_a = Vec3(slab_t(num_a.x, d.x), slab_t(num_a.y, d.y), slab_t(num_a.z, d.z))
-    t_b = Vec3(slab_t(num_b.x, d.x), slab_t(num_b.y, d.y), slab_t(num_b.z, d.z))
+    t_a = Vec3(
+        slab_t(num_a.x, zx, safe.x, raw.x),
+        slab_t(num_a.y, zy, safe.y, raw.y),
+        slab_t(num_a.z, zz, safe.z, raw.z),
+    )
+    t_b = Vec3(
+        slab_t(num_b.x, zx, safe.x, raw.x),
+        slab_t(num_b.y, zy, safe.y, raw.y),
+        slab_t(num_b.z, zz, safe.z, raw.z),
+    )
     pos = Vec3(d.x >= 0, d.y >= 0, d.z >= 0)
     tmin = Vec3.where_c(pos, t_a, t_b)
     tmax = Vec3.where_c(pos, t_b, t_a)
@@ -137,6 +187,10 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3, record: bool = False):
     d = rd.normalize()  # trace_ray normalizes first (src/scene.c:158)
     a = d.dot(d)
     shape = jnp.broadcast_shapes(ro.shape, d.shape)
+    # per-ray reciprocals hoisted out of the object loop (see ray_inverses)
+    inv2a = 0.5 / a
+    any_cube = any(not scene.is_sphere(i) for i in range(scene.num_objects))
+    inv = ray_inverses(d) if any_cube else None
 
     t_best = jnp.full(shape, BIG, d.dtype)
     obj_best = jnp.full(shape, -1, jnp.int32)
@@ -153,9 +207,13 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3, record: bool = False):
 
     for i in range(scene.num_objects):
         if scene.is_sphere(i):
-            t_i = intersect_sphere(ro, d, a, scene.center(i), scene.radius(i))
+            t_i = intersect_sphere(
+                ro, d, a, scene.center(i), scene.radius(i), inv2a=inv2a
+            )
         else:
-            t_i, n_i = intersect_cube(ro, d, scene.box_lo(i), scene.box_hi(i))
+            t_i, n_i = intersect_cube(
+                ro, d, scene.box_lo(i), scene.box_hi(i), inv=inv
+            )
 
         win = t_i < t_best  # strict: first of equal t wins, like the C scan
         t_best = jnp.where(win, t_i, t_best)
@@ -262,6 +320,11 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool,
     a = d.dot(d)
     shape = jnp.broadcast_shapes(ro.shape, d.shape)
     ro = ro.broadcast_to(shape)
+    # per-ray reciprocals hoisted out of the row loop (see ray_inverses);
+    # d is loop-invariant so both lax.scan and the in-kernel fori close
+    # over them
+    inv2a = 0.5 / a
+    inv = ray_inverses(d)
 
     rows = scene.packed_rows()  # (N, 16) array or kernel ref; col 15 = type
     in_kernel = getattr(scene, "in_kernel", False)
@@ -273,9 +336,9 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool,
 
         is_sph = get(15) == float(OBJ_SPHERE)
         center = Vec3(get(0), get(1), get(2))
-        t_s = intersect_sphere(ro, d, a, center, get(3))
+        t_s = intersect_sphere(ro, d, a, center, get(3), inv2a=inv2a)
         hi = Vec3(get(0) + get(3), get(1) + get(4), get(2) + get(5))
-        t_c, n_c = intersect_cube(ro, d, center, hi)
+        t_c, n_c = intersect_cube(ro, d, center, hi, inv=inv)
         t_i = jnp.where(is_sph, t_s, t_c)
 
         win = t_i < t_best
@@ -444,6 +507,9 @@ def _trace_shadow_unrolled(scene, ro: Vec3, rd: Vec3, want_obj: bool):
     d = rd.normalize()
     a = d.dot(d)
     shape = jnp.broadcast_shapes(ro.shape, d.shape)
+    inv2a = 0.5 / a
+    any_cube = any(not scene.is_sphere(i) for i in range(scene.num_objects))
+    inv = ray_inverses(d) if any_cube else None
 
     t_best = jnp.full(shape, BIG, d.dtype)
     emiss_best = Vec3.zeros(shape)
@@ -451,9 +517,13 @@ def _trace_shadow_unrolled(scene, ro: Vec3, rd: Vec3, want_obj: bool):
 
     for i in range(scene.num_objects):
         if scene.is_sphere(i):
-            t_i = intersect_sphere(ro, d, a, scene.center(i), scene.radius(i))
+            t_i = intersect_sphere(
+                ro, d, a, scene.center(i), scene.radius(i), inv2a=inv2a
+            )
         else:
-            t_i, _ = intersect_cube(ro, d, scene.box_lo(i), scene.box_hi(i))
+            t_i, _ = intersect_cube(
+                ro, d, scene.box_lo(i), scene.box_hi(i), inv=inv
+            )
         win = t_i < t_best
         t_best = jnp.where(win, t_i, t_best)
         if want_obj:

@@ -221,7 +221,7 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
     object-over-object edges — see config.soft_silhouette_temp. Shared by
     the XLA integrator and the Pallas render wrapper."""
     from ray_tracing_tpu.ops.intersect import (
-        BIG, HIT_THRESHOLD, intersect_cube, intersect_sphere,
+        BIG, HIT_THRESHOLD, intersect_cube, intersect_sphere, ray_inverses,
     )
 
     from ray_tracing_tpu.ops.intersect import UNROLL_LIMIT
@@ -229,6 +229,8 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
 
     d0 = rd0.normalize()
     a = d0.dot(d0)
+    inv2a = 0.5 / a
+    inv = ray_inverses(d0)  # hoisted per-ray slab reciprocals
     h0 = trace(scene, ro0, rd0)
     shape = h0.t.shape
     temp = config.soft_silhouette_temp
@@ -260,11 +262,11 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
             d_perp = jnp.sqrt(jnp.maximum(oc.norm2() - along * along, 1e-12))
             r = row[3]
             a_sph = jax.nn.sigmoid((r - d_perp) / (temp * jnp.maximum(r, 1e-6)))
-            t_sph = intersect_sphere(ro0, d0, a, center, r)
+            t_sph = intersect_sphere(ro0, d0, a, center, r, inv2a=inv2a)
             # cube: slab-overlap coverage
             hi = center + Vec3(row[3], row[4], row[5])
             a_cub = _soft_slab_coverage(ro0, d0, center, hi, temp)
-            t_cub, _ = intersect_cube(ro0, d0, center, hi)
+            t_cub, _ = intersect_cube(ro0, d0, center, hi, inv=inv)
 
             a_i = jnp.where(is_sph, a_sph, a_cub)
             gate = winner & jnp.where(is_sph, along > 0, True)
@@ -298,13 +300,17 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
                     (r - d_perp) / (temp * jnp.maximum(r, 1e-6))
                 )
                 alpha = jnp.where(winner & (along > 0), a_i, alpha)
-                t_i = intersect_sphere(ro0, d0, a, scene.center(i), r)
+                t_i = intersect_sphere(
+                    ro0, d0, a, scene.center(i), r, inv2a=inv2a
+                )
             else:
                 a_i = _soft_slab_coverage(
                     ro0, d0, scene.box_lo(i), scene.box_hi(i), temp
                 )
                 alpha = jnp.where(winner, a_i, alpha)
-                t_i, _ = intersect_cube(ro0, d0, scene.box_lo(i), scene.box_hi(i))
+                t_i, _ = intersect_cube(
+                    ro0, d0, scene.box_lo(i), scene.box_hi(i), inv=inv
+                )
 
             tt = jnp.where(winner, BIG, t_i)
             w2 = tt < t2
