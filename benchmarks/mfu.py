@@ -92,12 +92,27 @@ def main():
 
         with cpu_ctx():
             phys = F.physics_cost_per_pixel(scene, config)
-            bwd_vjp = F.replay_vjp_cost_per_pixel(scene, config)
+            if config.bwd_mode == "fetch":
+                bwd_vjp = F.fetch_vjp_cost_per_pixel(scene, config)
+                # the one-hot fetch matmuls sit inside this vjp graph but
+                # run on the MXU — excluded from the VPU roofline
+                bwd_vpu = max(
+                    0.0,
+                    bwd_vjp["flops_per_px"]
+                    - F.routing_mxu_flops_per_pixel(scene, config),
+                )
+                # fetch: NO recording pass — winner indices are residuals
+                # persisted by the forward (IndexRecordingTracer)
+                rec_passes = 1
+            else:
+                bwd_vjp = F.replay_vjp_cost_per_pixel(scene, config)
+                bwd_vpu = bwd_vjp["flops_per_px"]
+                # replay: the bwd kernel re-runs the recording pass
+                rec_passes = 2
         prng = F.prng_flops_per_pixel(config, scene.has_light)
         fwd_flops = phys["flops_per_px"] + prng
-        # grad() runtime = fwd kernel + bwd kernel(recording pass + replay
-        # vjp); routing matmuls are MXU-side and excluded from VPU flops.
-        fwdbwd_flops = 2 * fwd_flops + bwd_vjp["flops_per_px"]
+        # grad() runtime = rec_passes x fwd kernel + the bwd vjp (VPU part)
+        fwdbwd_flops = rec_passes * fwd_flops + bwd_vpu
 
         def fwd(cubemap, spp):
             @jax.jit

@@ -10,7 +10,6 @@ closest-hit traces per pixel-sample (src/main.c:156,189).
 
 import argparse
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -25,11 +24,15 @@ from ray_tracing_tpu.utils.profiling import rays_per_frame
 REF = "/root/reference"
 
 
-def timeit(fn, *args, n):
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / n
+def timeit(fn, scene, *, n):
+    """Marginal per-call time / n samples (utils/timing.py): distinct
+    seeds per call + host materialization — immune to tunnel-side request
+    caching and to a non-blocking block_until_ready."""
+    from ray_tracing_tpu.utils.timing import timed_marginal
+
+    make_args = lambda i: (scene, 1000 + i)
+    jax.block_until_ready(fn(*make_args(-1)))  # compile + warm
+    return timed_marginal(fn, make_args, repeats=2) / n
 
 
 def main():
@@ -66,17 +69,19 @@ def main():
         scene = parse_scene_file(f"{REF}/{sname}.txt")
         rays = rays_per_frame(W, H, 1, cfg)
 
-        def fwd_pallas(s):
+        def fwd_pallas(s, seed):
             return jnp.sum(render_image_pallas(
-                s, cam, W, H, 1, spp=spp, config=cfg, cubemap=cubemap))
+                s, cam, W, H, seed, spp=spp, config=cfg, cubemap=cubemap))
 
-        def fwd_xla(s):
+        def fwd_xla(s, seed):
             return jnp.sum(render_image(
-                s, cam, W, H, jax.random.key(1), spp=spp, config=cfg, cubemap=cubemap))
+                s, cam, W, H, jax.random.key(seed), spp=spp, config=cfg,
+                cubemap=cubemap))
 
-        def bwd_pallas(s):
+        def bwd_pallas(s, seed):
             return jax.grad(lambda q: jnp.sum(render_image_pallas(
-                q, cam, W, H, 1, spp=max(spp // 4, 1), config=cfg, cubemap=cubemap)))(s)
+                q, cam, W, H, seed, spp=max(spp // 4, 1), config=cfg,
+                cubemap=cubemap)))(s)
 
         tp = timeit(jax.jit(fwd_pallas), scene, n=spp)
         tx = timeit(jax.jit(fwd_xla), scene, n=spp)

@@ -293,6 +293,69 @@ def replay_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
     }
 
 
+def fetch_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
+    """XLA-counted cost of the FETCH backward's differentiable part:
+    jax.vjp of tile_physics-with-FetchReplayTracer — what _bwd_kernel_fetch
+    executes. Unlike the replay backward there is NO recording pass (the
+    winner-index planes are residuals persisted by the forward kernel), so
+    grad() runtime = fwd kernel + this. NOTE the count INCLUDES the one-hot
+    fetch matmuls of the custom vjp (they live inside this graph); subtract
+    `routing_mxu_flops_per_pixel` for a VPU-only roofline number."""
+    from ray_tracing_tpu.kernels.megakernel import (
+        FetchReplayTracer,
+        IndexRecordingTracer,
+        tile_physics,
+    )
+
+    th, tw = tile
+    shape = (th, tw)
+    ns = config.shadow_samples
+    has_light = scene.has_light
+
+    def vec(s):
+        return Vec3(
+            jnp.zeros(s, jnp.float32), jnp.zeros(s, jnp.float32),
+            jnp.ones(s, jnp.float32),
+        )
+
+    draws = _FixedDraws(
+        [vec((ns, th, tw)) for _ in range(config.bounces)] if has_light else [],
+        [vec(shape) for _ in range(config.bounces)],
+        [jnp.full(shape, 0.5) for _ in range(config.bounces)],
+    )
+    xs = jnp.broadcast_to(jnp.arange(tw, dtype=jnp.float32), shape)
+    ys = jnp.broadcast_to(jnp.arange(th, dtype=jnp.float32)[:, None], shape)
+    u, v = 1.0 - xs / (tw - 1), 1.0 - ys / (th - 1)
+    cam = jnp.zeros((1, 16), jnp.float32)
+
+    recorder = IndexRecordingTracer(scene)
+    tile_physics(scene, cam[0], u, v, draws, config, shape, tracer=recorder)
+    objs = recorder.objs
+    rows = scene.packed_rows()
+    li = int(scene.light_index) if has_light else -1
+
+    def g(rows, cam_arr):
+        tracer = FetchReplayTracer(objs, rows, scene.obj_type, li)
+        return tile_physics(None, cam_arr[0], u, v, draws, config, shape,
+                            tracer=tracer)
+
+    cots = tuple(jnp.ones(shape, jnp.float32) for _ in range(10))
+
+    def h(rows, cam_arr, cots):
+        _, vjpf = jax.vjp(g, rows, cam_arr)
+        return vjpf(cots)
+
+    compiled = jax.jit(h).lower(rows, cam, cots).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    px = th * tw
+    return {
+        "flops_per_px": float(cost.get("flops", 0.0)) / px,
+        "transcendentals_per_px": float(cost.get("transcendentals", 0.0)) / px,
+    }
+
+
 def routing_mxu_flops_per_pixel(scene, config: RenderConfig) -> float:
     """One-hot routing matmuls (_route_record_grads) per pixel: for every
     record, dot_general((N,P),(16,P)) = 2*N*16 flops/pixel, x6 passes for
