@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--target", required=True, help="screenshot PNG (flipped on save, like the reference writer)")
     p.add_argument("--init-pos", default="0,0.35,6")
     p.add_argument("--init-front", default="0,0,-1")
+    p.add_argument("--no-search", action="store_true",
+                   help="skip the coarse pose-grid search (single-start Adam "
+                        "from --init-pos/--init-front only)")
+    p.add_argument("--refine-steps", type=int, default=40,
+                   help="short-Adam steps per coarse-search candidate")
     p.add_argument("--steps", type=int, default=150)
     p.add_argument("--lr", type=float, default=6e-3)
     p.add_argument("--width", type=int, default=160)
@@ -68,6 +73,35 @@ def main(argv=None):
         if i % 20 == 0:
             print(f"step {i:4d}  loss {loss:.5f}", file=sys.stderr)
 
+    starts = [start]
+    if not args.no_search:
+        # global init: thumbnail-res brute force over poses, then a short
+        # Adam on each survivor; the manual guess stays in the tournament
+        from ray_tracing_tpu.diff.inverse import coarse_pose_search
+
+        cands, scores = coarse_pose_search(
+            scene, tgt, base_camera=start, config=cfg, cubemap=cubemap,
+        )
+        print(f"coarse search: top MSEs {[round(s, 4) for s in scores]}",
+              file=sys.stderr)
+        starts += [
+            dataclasses.replace(start, pos=jnp.asarray(p), front=jnp.asarray(f))
+            for p, f in cands
+        ]
+
+    if len(starts) > 1:
+        refined = []
+        for k, st in enumerate(starts):
+            _, rc, ls = fit(
+                scene, st, jnp.asarray(tgt), mesh,
+                scene_fields=(), camera_fields=("pos", "front"),
+                steps=args.refine_steps, lr=args.lr, spp=args.spp,
+                config=cfg, cubemap=cubemap,
+            )
+            print(f"candidate {k}: refine loss {ls[-1]:.5f}", file=sys.stderr)
+            refined.append((ls[-1], rc))
+        start = min(refined, key=lambda x: x[0])[1]
+
     _, rec, losses = fit(
         scene, start, jnp.asarray(tgt), mesh,
         scene_fields=(), camera_fields=("pos", "front"),
@@ -77,6 +111,16 @@ def main(argv=None):
     print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}", file=sys.stderr)
     print("pos:", np.asarray(rec.pos).round(4).tolist(), file=sys.stderr)
     print("front:", np.asarray(rec.front).round(4).tolist(), file=sys.stderr)
+
+    # headline metric: pixel correlation of the recovered-pose render
+    from ray_tracing_tpu.render.integrator import render_image
+
+    chk = np.asarray(render_image(
+        scene, rec, W, H, jax.random.key(11), spp=16, config=cfg,
+        cubemap=cubemap,
+    ))
+    corr = float(np.corrcoef(chk.ravel(), tgt.ravel())[0, 1])
+    print(f"correlation vs target: {corr:.3f}", file=sys.stderr)
 
     if args.out:
         from ray_tracing_tpu.kernels.megakernel import render_image_pallas

@@ -237,6 +237,131 @@ def fit(
     return scene, cam, losses
 
 
+def _fibonacci_directions(n: int) -> np.ndarray:
+    """n roughly-uniform unit vectors (golden-spiral sphere covering)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5.0**0.5) * i
+    return np.stack(
+        [np.sin(phi) * np.cos(theta), np.cos(phi), np.sin(phi) * np.sin(theta)],
+        axis=1,
+    ).astype(np.float32)
+
+
+def coarse_pose_search(
+    base_scene: Scene,
+    target,
+    *,
+    base_camera: Camera | None = None,
+    n_pos: int = 24,
+    radii=(0.9, 1.6),
+    look_jitter=((0.0, 0.0), (18.0, 0.0), (-18.0, 0.0), (0.0, 14.0), (0.0, -14.0)),
+    width: int = 32,
+    height: int = 24,
+    spp: int = 2,
+    aa: int = 2,
+    config: RenderConfig = DEFAULT_CONFIG,
+    cubemap: CubemapData | None = None,
+    key=None,
+    top_k: int = 3,
+):
+    """Global camera-pose initialization by brute-force low-res scoring.
+
+    Single-start gradient pose recovery stalls whenever the initial guess
+    is outside the loss basin (the silhouette-gradient regime is local) —
+    the plateau behind apps/pose_recovery's corr-0.88 ceiling. This stage
+    renders a few hundred candidate poses in ONE vmapped jit at thumbnail
+    resolution, scores them by MSE against the (area-downsampled) target,
+    and returns the `top_k` best (pos, front) pairs for Adam refinement.
+
+    Candidates are rendered at `aa`x the thumbnail grid and mean-pooled
+    down: the target arrives area-downsampled (blurred) while the renderer
+    point-samples pixel centers, and on high-frequency skies that aliasing
+    mismatch can out-weigh the geometry signal and promote a wrong-side
+    pose. The ranking is consumed by a refinement tournament — treat
+    membership of the true basin in the top_k as the contract, not rank 0.
+
+    Candidates: positions on golden-spiral spheres of radius
+    `radii x bbox half-diagonal` around the scene bounding-box center
+    (plus `base_camera.pos` when given), each looking at the bbox center
+    with small yaw/pitch perturbations from `look_jitter` (degrees).
+    Purely forward — works with any sky/config; no gradients involved.
+
+    Returns (cands, scores): cands a list of (pos, front) np arrays sorted
+    best-first (len top_k), scores the matching MSEs.
+    """
+    import dataclasses as _dc
+
+    from ray_tracing_tpu.render.integrator import render_image
+
+    if key is None:
+        key = jax.random.key(7)
+    cam0 = base_camera if base_camera is not None else Camera.default()
+
+    # scene bounding box from the packed rows (concrete here: the search is
+    # a non-differentiable preprocessing stage)
+    rows = np.asarray(base_scene.packed_rows())
+    is_sph = np.asarray(base_scene.obj_type) == 1
+    p0, p1 = rows[:, 0:3], rows[:, 3:6]
+    lo = np.where(is_sph[:, None], p0 - p1[:, :1], p0)
+    hi = np.where(is_sph[:, None], p0 + p1[:, :1], p0 + p1)
+    center = (lo.min(0) + hi.max(0)) / 2.0
+    half_diag = float(np.linalg.norm(hi.max(0) - lo.min(0)) / 2.0) or 1.0
+
+    positions = [np.asarray(cam0.pos, np.float32)]
+    for r in radii:
+        positions.extend(center + _fibonacci_directions(n_pos) * (r * half_diag))
+    positions = np.stack(positions).astype(np.float32)
+
+    def yaw_pitch_perturb(front, dyaw, dpitch):
+        f = front / (np.linalg.norm(front) + 1e-9)
+        yaw = np.arctan2(f[2], f[0]) + np.radians(dyaw)
+        pitch = np.clip(
+            np.arcsin(np.clip(f[1], -1.0, 1.0)) + np.radians(dpitch),
+            -np.pi / 2 + 1e-3,
+            np.pi / 2 - 1e-3,
+        )
+        return np.array(
+            [np.cos(pitch) * np.cos(yaw), np.sin(pitch), np.cos(pitch) * np.sin(yaw)],
+            np.float32,
+        )
+
+    poss, fronts = [], []
+    for p in positions:
+        to_center = center - p
+        for dyaw, dpitch in look_jitter:
+            poss.append(p)
+            fronts.append(yaw_pitch_perturb(to_center, dyaw, dpitch))
+    poss = jnp.asarray(np.stack(poss))
+    fronts = jnp.asarray(np.stack(fronts))
+
+    # area-downsample the target to the thumbnail grid
+    t = np.asarray(target, np.float32)
+    H, W = t.shape[0], t.shape[1]
+    ty, tx = (H // height) * height, (W // width) * width
+    t_small = jnp.asarray(
+        t[:ty, :tx].reshape(height, ty // height, width, tx // width, 3).mean((1, 3))
+    )
+
+    @jax.jit
+    def score_all(poss, fronts):
+        def one(pos, front):
+            cam = _dc.replace(cam0, pos=pos, front=front)
+            img = render_image(
+                base_scene, cam, width * aa, height * aa, key, spp=spp,
+                config=config, cubemap=cubemap,
+            )
+            img = img.reshape(height, aa, width, aa, 3).mean((1, 3))
+            return jnp.mean((img - t_small) ** 2)
+
+        return jax.vmap(one)(poss, fronts)
+
+    scores = np.asarray(score_all(poss, fronts))
+    order = np.argsort(scores)[: top_k]
+    cands = [(np.asarray(poss[i]), np.asarray(fronts[i])) for i in order]
+    return cands, [float(scores[i]) for i in order]
+
+
 def fit_multiscale(
     base_scene: Scene,
     camera: Camera,

@@ -1,0 +1,155 @@
+"""Coarse pose-grid search (diff/inverse.coarse_pose_search): the global
+initializer behind apps/pose_recovery. Ground-truth camera off the spiral
+lattice; the winning candidate has to (a) beat the opposite-side pose by a
+wide margin and (b) sit on the right side of the scene.
+
+The scene is deliberately ASYMMETRIC (distinctly colored diffuse objects):
+mirror-symmetric scenes (e.g. scene_2's sphere row) give near-flat MSE
+landscapes at thumbnail resolution and cannot validate the ranking."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_tracing_tpu.config import RenderConfig
+from ray_tracing_tpu.diff.inverse import coarse_pose_search
+from ray_tracing_tpu.ops.cubemap import checker_sky
+from ray_tracing_tpu.render.camera import Camera
+from ray_tracing_tpu.render.integrator import render_image
+from ray_tracing_tpu.scene.parser import parse_scene_string
+
+# red sphere / green cube / blue sphere at distinct offsets + a dark floor:
+# every viewing side sees a different color arrangement
+SCENE_SRC = """\
+sphere
+\temission_color {0 0 0}
+\temission_power 0
+\tmetallic       0
+\treflectance    0
+\troughness      1
+\talbedo         {0.9 0.1 0.1}
+\tcenter         {-1.5 0 0}
+\tradius         0.8
+
+cube
+\temission_color {0 0 0}
+\temission_power 0
+\tmetallic       0
+\treflectance    0
+\troughness      1
+\talbedo         {0.1 0.8 0.1}
+\torigin         {0.5 -0.6 0.4}
+\tsize           {1.2 1.2 1.2}
+
+sphere
+\temission_color {0 0 0}
+\temission_power 0
+\tmetallic       0
+\treflectance    0
+\troughness      1
+\talbedo         {0.15 0.25 0.9}
+\tcenter         {0.2 1.1 -1.3}
+\tradius         0.55
+
+cube
+\temission_color {0 0 0}
+\temission_power 0
+\tmetallic       0
+\treflectance    0
+\troughness      1
+\talbedo         {0.25 0.2 0.15}
+\torigin         {-3 -1 -3}
+\tsize           {6 0.2 6}
+"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = parse_scene_string(SCENE_SRC)
+    cfg = RenderConfig(bounces=2, shadow_samples=1)
+    sky = checker_sky(32)
+
+    rows = np.asarray(scene.packed_rows())
+    is_sph = np.asarray(scene.obj_type) == 1
+    p0, p1 = rows[:, 0:3], rows[:, 3:6]
+    lo = np.where(is_sph[:, None], p0 - p1[:, :1], p0)
+    hi = np.where(is_sph[:, None], p0 + p1[:, :1], p0 + p1)
+    center = (lo.min(0) + hi.max(0)) / 2.0
+    half_diag = float(np.linalg.norm(hi.max(0) - lo.min(0)) / 2.0)
+
+    # ground truth: NOT one of the spiral candidates (off-lattice direction
+    # and off-grid radius), looking at the scene center
+    gdir = np.array([0.55, 0.35, 0.76])
+    gdir /= np.linalg.norm(gdir)
+    gpos = center + gdir * (1.25 * half_diag)
+    gfront = (center - gpos).astype(np.float32)
+    cam_true = dataclasses.replace(
+        Camera.default(), pos=jnp.asarray(gpos, jnp.float32),
+        front=jnp.asarray(gfront),
+    )
+    target = np.asarray(
+        render_image(scene, cam_true, 64, 48, jax.random.key(3), spp=2,
+                     config=cfg, cubemap=sky)
+    )
+    return scene, cfg, sky, center, gpos, target
+
+
+def test_coarse_search_finds_the_right_side(setup):
+    scene, cfg, sky, center, gpos, target = setup
+    cands, scores = coarse_pose_search(
+        scene, target, n_pos=16, radii=(1.25,), width=32, height=24, spp=1,
+        look_jitter=((0.0, 0.0), (15.0, 0.0), (-15.0, 0.0)),
+        config=cfg, cubemap=sky, top_k=3,
+    )
+    assert len(cands) == 3 and scores == sorted(scores)
+
+    # (b) the true basin is in the top-k the refinement tournament consumes
+    true_dir = (gpos - center) / np.linalg.norm(gpos - center)
+    dots = [
+        float(true_dir @ ((p - center) / np.linalg.norm(p - center)))
+        for p, _ in cands
+    ]
+    assert max(dots) > 0.5, (dots, [p for p, _ in cands], gpos)
+
+
+def test_coarse_search_beats_the_opposite_pose(setup):
+    scene, cfg, sky, center, gpos, target = setup
+    cands, scores = coarse_pose_search(
+        scene, target, n_pos=12, radii=(1.25,), width=32, height=24, spp=1,
+        look_jitter=((0.0, 0.0),), config=cfg, cubemap=sky, top_k=1,
+    )
+    # (a) score of the opposite-side pose, same scoring machinery
+    wrong_pos = center - (gpos - center)
+    wrong_front = (center - wrong_pos).astype(np.float32)
+    cam_wrong = dataclasses.replace(
+        Camera.default(), pos=jnp.asarray(wrong_pos, jnp.float32),
+        front=jnp.asarray(wrong_front),
+    )
+    t = target
+    h, w = 24, 32
+    ty, tx = (t.shape[0] // h) * h, (t.shape[1] // w) * w
+    t_small = t[:ty, :tx].reshape(h, ty // h, w, tx // w, 3).mean((1, 3))
+    img = np.asarray(render_image(scene, cam_wrong, w, h, jax.random.key(7),
+                                  spp=1, config=cfg, cubemap=sky))
+    wrong_mse = float(np.mean((img - t_small) ** 2))
+    assert scores[0] < 0.7 * wrong_mse, (scores[0], wrong_mse)
+
+
+def test_manual_guess_stays_in_the_tournament(setup):
+    """base_camera.pos must be among the scored candidate positions."""
+    scene, cfg, sky, center, gpos, target = setup
+    guess = dataclasses.replace(
+        Camera.default(), pos=jnp.asarray(gpos, jnp.float32),
+        front=jnp.asarray((center - gpos).astype(np.float32)),
+    )
+    cands, scores = coarse_pose_search(
+        scene, target, base_camera=guess, n_pos=4, radii=(1.25,),
+        width=32, height=24, spp=1, look_jitter=((0.0, 0.0),),
+        config=cfg, cubemap=sky, top_k=1,
+    )
+    # the exact ground-truth position (scored with look-at-center front)
+    # should win over the 4-point spiral
+    assert np.allclose(cands[0][0], np.asarray(gpos, np.float32), atol=1e-5)
