@@ -197,6 +197,7 @@ class Viewer:
         if (width, height) == (self.width, self.height):
             return
         self.width, self.height = width, height
+        self._cell_px = None  # terminal metrics may have changed
         self.invalidate()
 
     def fit_terminal(self, max_w: int = 192, max_h: int = 108) -> None:
@@ -209,6 +210,32 @@ class Viewer:
         w = max(16, min(size.columns, max_w))
         h = max(8, min((size.lines - 2) * 2, max_h))
         self.resize(w, h - h % 2)
+
+    def _cell_pixels(self):
+        """Screen pixels per terminal cell (TIOCGWINSZ ws_xpixel/ws_ypixel
+        when the terminal reports them; a typical 10x20 otherwise). Cached —
+        re-probed on resize via invalidate-free attribute reset."""
+        cached = getattr(self, "_cell_px", None)
+        if cached is not None:
+            return cached
+        cw, ch = 10.0, 20.0
+        try:
+            import fcntl
+            import struct
+            import termios
+
+            ws = fcntl.ioctl(
+                self.out.fileno(), termios.TIOCGWINSZ, b"\x00" * 8
+            )
+            rows, cols, xpx, ypx = struct.unpack("HHHH", ws)
+            if cols > 0 and xpx > 0:
+                cw = xpx / cols
+            if rows > 0 and ypx > 0:
+                ch = ypx / rows
+        except Exception:
+            pass
+        self._cell_px = (cw, ch)
+        return self._cell_px
 
     def handle_events(self, events) -> bool:
         """Returns False when the loop should exit."""
@@ -242,7 +269,15 @@ class Viewer:
                 if last is not None:
                     dx, dy = x - last[0], last[1] - y
                     if dx or dy:
-                        self.camera = cam_mod.rotate(self.camera, dx, dy, self.config)
+                        # SGR/X10 report terminal CELLS; the reference's
+                        # rotate_camera expects WINDOW PIXELS at 0.1°/px
+                        # (src/camera.c:42-78). Scale by the cell's screen-
+                        # pixel size so physical mouse travel feels the
+                        # same as in the reference's GLFW window.
+                        cw, ch = self._cell_pixels()
+                        self.camera = cam_mod.rotate(
+                            self.camera, dx * cw, dy * ch, self.config
+                        )
                         self.invalidate()
             elif ev == EV_SHOT:
                 path = screenshot(self.resolve_fn(self.film))

