@@ -138,6 +138,13 @@ def fit(
     height = height or target.shape[0]
     width = width or target.shape[1]
 
+    if {"emission_power", "emission_color"} & set(scene_fields):
+        # Training emission: drop the static emissive metadata so the
+        # shadow trace keeps the exact full scan — the occlusion fast path
+        # (ops/intersect._trace_shadow_occlusion) would freeze build-time-
+        # dark objects out of the NEE emission-gradient path.
+        base_scene = dataclasses.replace(base_scene, emissive=None)
+
     dead = {"yaw", "pitch"} & set(camera_fields)
     if dead:
         # rendering consumes only pos/front/up; yaw/pitch are interactive-

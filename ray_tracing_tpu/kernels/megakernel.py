@@ -113,10 +113,13 @@ class SceneView:
 
     in_kernel = True
 
-    def __init__(self, ref, obj_type, light_index):
+    def __init__(self, ref, obj_type, light_index, emissive=None):
         self._r = ref
         self.obj_type = obj_type
         self.light_index = light_index
+        # static build-time emissive tuple (None = unknown): gates the
+        # occlusion-only shadow trace exactly like Scene.emissive
+        self.emissive = emissive
 
     @property
     def num_objects(self):
@@ -561,6 +564,7 @@ def _fwd_kernel(
     *out_refs,  # 10 x VMEM (tile_h, tile_w) [+ winner-index refs if record]
     obj_type,
     light_index,
+    emissive,
     config,
     width,
     height,
@@ -570,7 +574,7 @@ def _fwd_kernel(
     record=False,
 ):
     _seed_tile(scalars_ref[0])
-    scene = SceneView(scene_ref, obj_type, light_index)
+    scene = SceneView(scene_ref, obj_type, light_index, emissive)
     i, j = pl.program_id(0), pl.program_id(1)
     u, v = _tile_uv(i, j, tile_h, tile_w, width, norm_height, scalars_ref[1])
     if config.pixel_jitter:
@@ -607,6 +611,7 @@ def _bwd_kernel(
     *rest,       # 10 cotangent refs, then grad_scene_ref, grad_cam_ref
     obj_type,
     light_index,
+    emissive,
     config,
     width,
     height,
@@ -633,7 +638,7 @@ def _bwd_kernel(
     cam_arr = cam_ref[...]               # (1, 16) value
 
     def f(scene_arr, cam_arr):
-        view = SceneView(scene_arr, obj_type, light_index)
+        view = SceneView(scene_arr, obj_type, light_index, emissive)
         cam = cam_arr[0]
         return tile_physics(view, cam, u, v, draws, config, (tile_h, tile_w))
 
@@ -712,6 +717,7 @@ def _bwd_kernel_replay(
     *rest,       # 10 cotangent refs, then grad_scene_ref, grad_cam_ref
     obj_type,
     light_index,
+    emissive,
     config,
     width,
     height,
@@ -743,7 +749,7 @@ def _bwd_kernel_replay(
         v = v + (_uniform((tile_h, tile_w)) - 0.5) / max(norm_height - 1, 1)
 
     draws = PrecomputedDraws((tile_h, tile_w), config, light_index >= 0)
-    view = SceneView(scene_ref, obj_type, light_index)
+    view = SceneView(scene_ref, obj_type, light_index, emissive)
     cam_arr = cam_ref[...]  # (1, 16) value
 
     # pass 1: record winners along the exact forward paths
@@ -811,6 +817,7 @@ def _bwd_kernel_fetch(
                  # then grad_scene_ref, grad_cam_ref
     obj_type,
     light_index,
+    emissive,
     config,
     width,
     height,
@@ -913,14 +920,15 @@ def _record_layout(config, has_light, tile_h, tile_w, hp, wp):
 
 def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False,
              record=False):
-    (obj_type, light_index, config, width, height, norm_height, tile_h, tile_w) = meta
+    (obj_type, light_index, config, width, height, norm_height, tile_h,
+     tile_w, emissive) = meta
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
     grid = (hp // tile_h, wp // tile_w)
     plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     kernel = functools.partial(
         _fwd_kernel,
-        obj_type=obj_type, light_index=light_index, config=config,
-        width=width, height=height, norm_height=norm_height,
+        obj_type=obj_type, light_index=light_index, emissive=emissive,
+        config=config, width=width, height=height, norm_height=norm_height,
         tile_h=tile_h, tile_w=tile_w, record=record,
     )
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -948,7 +956,8 @@ def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False,
 
 def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta,
              records=()):
-    (obj_type, light_index, config, width, height, norm_height, tile_h, tile_w) = meta
+    (obj_type, light_index, config, width, height, norm_height, tile_h,
+     tile_w, emissive) = meta
     n = len(obj_type)
     hp, wp = _plane_shape(width, height, tile_h, tile_w)
     # SAME tiling as the forward — the per-tile seeds and in-tile draw
@@ -967,9 +976,10 @@ def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta,
         assert len(records) == len(rec_specs), (len(records), len(rec_specs))
         kernel = functools.partial(
             _bwd_kernel_fetch,
-            obj_type=obj_type, light_index=light_index, config=config,
-            width=width, height=height, norm_height=norm_height,
-            tile_h=tile_h, tile_w=tile_w, n_rec=len(records),
+            obj_type=obj_type, light_index=light_index, emissive=emissive,
+            config=config, width=width, height=height,
+            norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
+            n_rec=len(records),
         )
         g_scene, g_cam = pl.pallas_call(
             kernel,
@@ -995,17 +1005,17 @@ def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta,
         # reads it scalar-by-scalar like the fwd; small scenes unroll)
         kernel = functools.partial(
             _bwd_kernel_replay,
-            obj_type=obj_type, light_index=light_index, config=config,
-            width=width, height=height, norm_height=norm_height,
-            tile_h=tile_h, tile_w=tile_w,
+            obj_type=obj_type, light_index=light_index, emissive=emissive,
+            config=config, width=width, height=height,
+            norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
         )
         scene_spec = _scene_spec(n)
     else:
         kernel = functools.partial(
             _bwd_kernel,
-            obj_type=obj_type, light_index=light_index, config=config,
-            width=width, height=height, norm_height=norm_height,
-            tile_h=tile_h, tile_w=tile_w,
+            obj_type=obj_type, light_index=light_index, emissive=emissive,
+            config=config, width=width, height=height,
+            norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
         )
         scene_spec = whole((n, SCENE_COLS))  # VMEM value for jax.vjp
 
@@ -1124,7 +1134,7 @@ def render_tiles_pallas(
         aspect = width / norm_height
     meta = (
         scene.obj_type, scene.light_index, config, width, height, norm_height,
-        tile_h, tile_w,
+        tile_h, tile_w, getattr(scene, "emissive", None),
     )
     cam_pack = _camera_pack(camera, aspect, config)
     scalars_i32 = jnp.stack(

@@ -491,7 +491,11 @@ def trace_shadow_record(scene, ro: Vec3, rd: Vec3):
         return (h.hit, h.emission), ShadowRecord(
             obj=rec.obj, hit=rec.hit, emission=rec.emission
         )
-    hit, emiss, obj = _trace_shadow_unrolled(scene, ro, rd, want_obj=True)
+    li = _single_emissive_index(scene)
+    if li is not None:
+        hit, emiss, obj = _trace_shadow_occlusion(scene, ro, rd, li)
+    else:
+        hit, emiss, obj = _trace_shadow_unrolled(scene, ro, rd, want_obj=True)
     return (hit, emiss), ShadowRecord(
         obj=obj, hit=hit.astype(jnp.float32), emission=emiss
     )
@@ -501,6 +505,111 @@ def trace_shadow_replay(rec: ShadowRecord):
     """Differentiable (hit, emission) from a ShadowRecord: emission is the
     leaf; the occlusion bit is detached."""
     return rec.hit > 0.5, rec.emission
+
+
+def occlude_sphere(ro: Vec3, d: Vec3, a, center: Vec3, radius, at_ref,
+                   strict: bool):
+    """Does this sphere block a shadow ray before `t_ref`? Boolean only —
+    no sqrt, no divide, no winner selects.
+
+    Algebraic reformulation of `intersect_sphere(...) OP t_ref` (OP is <
+    when `strict`, else <=), mirroring src/scene.c:79-134's root choice:
+    with k = oc.dot(d) and c = |oc|^2 - r^2, the quarter-discriminant
+    D = k^2 - a*c replaces discr/4; `inside` (nearest root s0 behind the
+    origin) reduces to k < 0 or c < 0; s1 >= 0 (reject both-behind)
+    reduces to k >= 0 or c <= 0; and the chosen-root-vs-t_ref comparison
+    squares away the sqrt: s0 OP t_ref <=> sqrt(D) inv-OP k - a*t_ref.
+    `at_ref = a * t_ref` is hoisted per ray. Boundary lanes may round
+    differently from the sqrt+divide formulation (same ulp-level budget
+    as ray_inverses); fwd and bwd share this code path so the stream
+    bit-identity invariant is untouched."""
+    oc = center - ro
+    k = oc.dot(d)
+    c = oc.norm2() - radius * radius
+    D = k * k - a * c
+    valid = D > 0  # discr > 0, scaled by 1/4 (src/scene.c:107)
+    w = k - at_ref
+    w2 = w * w
+    inside = (k < 0) | (c < 0)        # s0 < 0
+    s1_fwd = (k >= 0) | (c <= 0)      # s1 >= 0
+    if strict:
+        occ_s0 = (w < 0) | (D > w2)   # s0 <  t_ref (sq > w)
+        occ_s1 = (w < 0) & (D < w2)   # s1 <  t_ref (sq < -w)
+    else:
+        occ_s0 = (w <= 0) | (D >= w2)
+        occ_s1 = (w <= 0) & (D <= w2)
+    return valid & jnp.where(inside, occ_s1 & s1_fwd, occ_s0)
+
+
+def _single_emissive_index(scene):
+    """Static index of the sole build-time emissive object, or None when
+    the scene's emissive metadata is absent/ambiguous (multiple lights)."""
+    emissive = getattr(scene, "emissive", None)
+    if emissive is None or sum(bool(e) for e in emissive) != 1:
+        return None
+    return next(i for i, e in enumerate(emissive) if e)
+
+
+def _trace_shadow_occlusion(scene, ro: Vec3, rd: Vec3, li: int):
+    """Shadow trace for single-light scenes: intersect the light once,
+    then OR-reduce per-occluder \"blocks it earlier\" booleans instead of
+    running the full closest-hit argmin.
+
+    Value-equivalent to the running-min scan when object `li` is the only
+    one with nonzero emission (true for every build-time scene by the
+    `Scene.emissive` gate): the scan's contribution is the WINNER's
+    emission, which is zero unless the light wins — i.e. unless some
+    occluder j beats it under the first-of-equal-t rule (strictly earlier
+    for j > li, ties included for j < li; src/scene.c:156-190). Per
+    occluder this costs one compare+OR instead of four where-selects, and
+    spheres use the sqrt/divide-free occlude_sphere test.
+
+    Gradient semantics: NEE emission gradients route to the light alone —
+    a build-time-dark occluder no longer receives the (zero-valued but
+    nonzero-gradient) NEE path through its emission leaves; its emission
+    still reaches the image through bounce hits. diff.inverse.fit drops
+    the `emissive` metadata when emission fields are trained, restoring
+    the exact scan.
+    """
+    d = rd.normalize()
+    a = d.dot(d)
+    shape = jnp.broadcast_shapes(ro.shape, d.shape)
+    inv2a = 0.5 / a
+    any_cube = any(not scene.is_sphere(i) for i in range(scene.num_objects))
+    inv = ray_inverses(d) if any_cube else None
+
+    if scene.is_sphere(li):
+        t_e = intersect_sphere(
+            ro, d, a, scene.center(li), scene.radius(li), inv2a=inv2a
+        )
+    else:
+        t_e, _ = intersect_cube(ro, d, scene.box_lo(li), scene.box_hi(li),
+                                inv=inv)
+
+    at_ref = a * t_e
+    occluded = None  # no bool-constant seed: Mosaic can't lower i1 consts
+    for j in range(scene.num_objects):
+        if j == li:
+            continue
+        strict = j > li  # j < li wins ties (first-of-equal-t scan order)
+        if scene.is_sphere(j):
+            occ_j = occlude_sphere(
+                ro, d, a, scene.center(j), scene.radius(j), at_ref, strict
+            )
+        else:
+            t_j, _ = intersect_cube(ro, d, scene.box_lo(j), scene.box_hi(j),
+                                    inv=inv)
+            occ_j = (t_j < t_e) if strict else (t_j <= t_e)
+        occluded = occ_j if occluded is None else occluded | occ_j
+
+    hit = t_e < HIT_THRESHOLD
+    if occluded is not None:
+        hit = hit & ~occluded
+    emiss = Vec3.where(
+        hit, scene.emission_of(li).broadcast_to(shape), Vec3.zeros(shape)
+    )
+    obj = jnp.where(hit, li, -1).astype(jnp.int32)
+    return hit, emiss, obj
 
 
 def _trace_shadow_unrolled(scene, ro: Vec3, rd: Vec3, want_obj: bool):
@@ -538,10 +647,19 @@ def _trace_shadow_unrolled(scene, ro: Vec3, rd: Vec3, want_obj: bool):
 
 def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):
     """Light-sampling trace: only (hit, emission-of-nearest) are needed
-    (src/main.c:200-204). Tracks 5 fields instead of 14."""
+    (src/main.c:200-204). Tracks 5 fields instead of 14.
+
+    Single-light scenes (per the static `Scene.emissive` metadata) take
+    the occlusion-only fast path — see _trace_shadow_occlusion for the
+    value/gradient contract and `replace(scene, emissive=None)` for the
+    exact-scan opt-out."""
     if scene.num_objects > UNROLL_LIMIT:
         h = _trace_scan(scene, ro, rd, want_material=False)
         return h.hit, h.emission
+    li = _single_emissive_index(scene)
+    if li is not None:
+        hit, emiss, _ = _trace_shadow_occlusion(scene, ro, rd, li)
+        return hit, emiss
     hit, emiss, _ = _trace_shadow_unrolled(scene, ro, rd, want_obj=False)
     return hit, emiss
 

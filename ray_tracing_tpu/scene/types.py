@@ -70,7 +70,7 @@ class Scene:
 
     Data leaves (differentiable): p0, p1, albedo, roughness, reflectance,
     metallic, emission_power, emission_color.
-    Static metadata: obj_type (tuple of OBJ_* ints), light_index.
+    Static metadata: obj_type (tuple of OBJ_* ints), light_index, emissive.
     """
 
     obj_type: tuple            # static: per-object OBJ_SPHERE / OBJ_CUBE
@@ -83,6 +83,12 @@ class Scene:
     metallic: jax.Array        # (N,) f32
     emission_power: jax.Array  # (N,) f32
     emission_color: jax.Array  # (N, 3) f32
+    # static per-object emission_power > 0 at BUILD time; enables the
+    # occlusion-only shadow trace (ops/intersect._trace_shadow_occlusion)
+    # when exactly one object is emissive. None = unknown -> full scan;
+    # replace(scene, emissive=None) restores exact NEE gradient routing to
+    # every object's emission (see trace_shadow's docstring).
+    emissive: tuple | None = None
 
     @property
     def num_objects(self) -> int:
@@ -189,6 +195,7 @@ class Scene:
         return Scene(
             obj_type=obj_type,
             light_index=light_index,
+            emissive=tuple(o.emission_power > 0 for o in objects),
             p0=field(lambda o: o.p0, (3,)),
             p1=field(lambda o: o.p1, (3,)),
             albedo=field(lambda o: o.albedo, (3,)),
@@ -204,7 +211,7 @@ class Scene:
         host = {
             f.name: np.asarray(getattr(self, f.name))
             for f in dataclasses.fields(self)
-            if f.name not in ("obj_type", "light_index")
+            if f.name not in ("obj_type", "light_index", "emissive")
         }
         out = []
         for i in range(self.num_objects):
@@ -236,5 +243,5 @@ jax.tree_util.register_dataclass(
         "emission_power",
         "emission_color",
     ],
-    meta_fields=["obj_type", "light_index"],
+    meta_fields=["obj_type", "light_index", "emissive"],
 )

@@ -426,3 +426,125 @@ def test_trace_record_unrolled_matches_scan():
             np.asarray(getattr(r1, f).to_array()),
             np.asarray(getattr(r2, f).to_array()), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), rtol=1e-5)
+
+
+def test_occlude_sphere_matches_intersect_predicate():
+    """occlude_sphere (sqrt/divide-free shadow test) must agree with the
+    predicate intersect_sphere(...) OP t_ref on random configurations,
+    including origins inside the sphere and spheres behind the ray."""
+    from ray_tracing_tpu.ops.intersect import intersect_sphere, occlude_sphere
+
+    rng = np.random.default_rng(11)
+    n = 50000
+    ro = to_vec3(rng.uniform(-4, 4, (n, 3)))
+    d = to_vec3(rng.uniform(-1, 1, (n, 3))).normalize()
+    a = d.dot(d)
+    center = to_vec3(rng.uniform(-4, 4, (3,)))
+    radius = jnp.float32(1.7)  # large: many inside-origins among the rays
+    t_ref = jnp.asarray(rng.uniform(0.0, 8.0, n), jnp.float32)
+
+    t = intersect_sphere(ro, d, a, center, radius)
+    for strict in (True, False):
+        want = (t < t_ref) if strict else (t <= t_ref)
+        got = occlude_sphere(ro, d, a, center, radius, a * t_ref, strict)
+        # boundary lanes may round differently (documented); none expected
+        # on random draws
+        assert np.mean(np.asarray(got == want)) == 1.0
+
+
+def test_shadow_occlusion_path_matches_full_scan():
+    """Single-light fast shadow path: the consumed product take*emission
+    and the light-hit set must equal the full running-min scan's, and the
+    recorded winner index must be the light or -1 (see
+    _trace_shadow_occlusion's contract)."""
+    import dataclasses as _dc
+
+    from ray_tracing_tpu.ops.intersect import trace_shadow, trace_shadow_record
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        s = Scene.from_objects(_random_scene(num=7))  # object 2 is the light
+        exact = _dc.replace(s, emissive=None)
+        li = s.light_index
+        n = 4096
+        ro = to_vec3(rng.uniform(-6, 6, (n, 3)))
+        rd = to_vec3(rng.uniform(-1, 1, (n, 3)))
+        # axis-parallel lanes exercise the slab inf branches
+        rd = Vec3(rd.x.at[:64].set(0.0), rd.y.at[64:128].set(0.0), rd.z)
+
+        h1, e1 = trace_shadow(s, ro, rd)
+        h0, e0 = trace_shadow(exact, ro, rd)
+        # the consumer multiplies hit x emission — that product is exact
+        for c1, c0 in zip((e1.x, e1.y, e1.z), (e0.x, e0.y, e0.z)):
+            np.testing.assert_array_equal(
+                np.asarray(jnp.where(h1, c1, 0.0)),
+                np.asarray(jnp.where(h0, c0, 0.0)),
+            )
+
+        (_, _), r1 = trace_shadow_record(s, ro, rd)
+        (_, _), r0 = trace_shadow_record(exact, ro, rd)
+        o1, o0 = np.asarray(r1.obj), np.asarray(r0.obj)
+        assert set(np.unique(o1).tolist()) <= {li, -1}
+        np.testing.assert_array_equal(o1 == li, o0 == li)
+
+
+def test_shadow_fast_path_render_bit_equal():
+    """Full scene_0 render (the NEE room): fast shadow path bit-equal to
+    the exact scan through the XLA integrator."""
+    import dataclasses as _dc
+
+    from ray_tracing_tpu.ops.cubemap import checker_sky
+    from ray_tracing_tpu.render.integrator import render_image
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    scene = parse_scene_file("/root/reference/scene_0.txt")
+    exact = _dc.replace(scene, emissive=None)
+    cam = Camera.default()
+    sky = checker_sky(16)
+
+    def render(s):
+        return render_image(s, cam, 64, 48, jax.random.key(5), spp=2, cubemap=sky)
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(render)(scene)), np.asarray(jax.jit(render)(exact))
+    )
+
+
+def test_shadow_fast_path_gradients_route_to_light_only():
+    """NEE emission gradients: the fast path routes to the light alone;
+    emission training through fit() drops the metadata and restores the
+    full-scan routing (diff/inverse.py gate)."""
+    import dataclasses as _dc
+
+    from ray_tracing_tpu.render.integrator import render_image
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    scene = parse_scene_file("/root/reference/scene_0.txt")
+    # give build-time-dark objects a white emission COLOR (power stays 0,
+    # so renders are unchanged) — otherwise d/d power = color = 0 hides
+    # the routing difference behind the product rule
+    scene = _dc.replace(
+        scene, emission_color=jnp.ones_like(scene.emission_color)
+    )
+    cam = Camera.default()
+
+    def loss(s):
+        return jnp.sum(
+            render_image(s, cam, 32, 24, jax.random.key(3), spp=1)
+        )
+
+    g_fast = jax.grad(lambda ep: loss(_dc.replace(scene, emission_power=ep)))(
+        scene.emission_power
+    )
+    g_exact = jax.grad(lambda ep: loss(
+        _dc.replace(scene, emission_power=ep, emissive=None)
+    ))(scene.emission_power)
+    li = scene.light_index
+    # the light's NEE+bounce emission gradient is identical either way
+    np.testing.assert_allclose(
+        float(g_fast[li]), float(g_exact[li]), rtol=1e-6
+    )
+    # bounce-hit emission gradients for dark objects survive the fast path
+    assert np.any(np.asarray(g_fast[:li]) != 0.0)
+    # and the exact scan additionally carries the NEE path for them
+    assert np.any(np.asarray(g_fast[:li]) != np.asarray(g_exact[:li]))
