@@ -101,19 +101,66 @@ def main():
         return jax.jit(jax.grad(loss))
 
     # ---- headline: real skybox, fwd+bwd ----
-    sky_bwd = mrays(timed(bwd_fn(skybox), scene, spp=SPP_BWD))
-    sky_fwd = mrays(timed(fwd_fn(skybox), scene, spp=SPP_FWD))
+    t_bwd = timed(bwd_fn(skybox), scene, spp=SPP_BWD)
+    sky_bwd = mrays(t_bwd)
+    t_fwd = timed(fwd_fn(skybox), scene, spp=SPP_FWD)
+    sky_fwd = mrays(t_fwd)
     # ---- secondary: gather-free constant sky (fwd only; its fwd+bwd is
     # measured in BENCH_NOTES.md — one fewer multi-minute compile here) ----
-    const_fwd = mrays(timed(fwd_fn(const), scene, spp=SPP_FWD))
+    t_const = timed(fwd_fn(const), scene, spp=SPP_FWD)
+    const_fwd = mrays(t_const)
+
+    # ---- MFU vs the measured VPU FMA peak (benchmarks/mfu.py is the full
+    # report; this inlines its cost model so the headline carries its own
+    # roofline). Never let MFU accounting break the headline measurement.
+    mfu = ""
+    try:
+        import contextlib
+
+        from ray_tracing_tpu.utils import flops as F
+
+        try:
+            cpu = jax.default_device(jax.devices("cpu")[0])
+        except Exception:
+            cpu = contextlib.nullcontext()
+        with cpu:
+            phys = F.physics_cost_per_pixel(scene, config)
+            if config.bwd_mode == "fetch":
+                bwd_vpu = max(
+                    0.0,
+                    F.fetch_vjp_cost_per_pixel(scene, config)["flops_per_px"]
+                    - F.routing_mxu_flops_per_pixel(scene, config),
+                )
+                rec_passes = 1  # fwd persists winner indices: no re-record
+            else:
+                bwd_vpu = F.replay_vjp_cost_per_pixel(scene, config)["flops_per_px"]
+                rec_passes = 2
+        fwd_flops = phys["flops_per_px"] + F.prng_flops_per_pixel(
+            config, scene.has_light
+        )
+        fwdbwd_flops = rec_passes * fwd_flops + bwd_vpu
+        pk = F.measured_vpu_peak()
+        if 1.6 <= pk["ratio"] <= 2.5:  # iters-doubling self-check
+            px = WIDTH * HEIGHT
+            peak = pk["flops_per_s"]
+            tf_fwd = fwd_flops * px / t_const / 1e12
+            tf_bwd = fwdbwd_flops * px / t_bwd / 1e12
+            mfu = (
+                "; VPU peak %.1f TFLOP/s measured, const-sky fwd %.2f TFLOP/s"
+                " = %.0f%% MFU, fwd+bwd %.2f TFLOP/s = %.0f%% MFU"
+                % (peak / 1e12, tf_fwd, 100 * tf_fwd * 1e12 / peak,
+                   tf_bwd, 100 * tf_bwd * 1e12 / peak)
+            )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"MFU accounting skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(
             {
                 "metric": (
                     "Mrays/s/chip fwd+bwd scene_2 1920x1080 + 2048^2 skybox "
-                    "(fwd-only %.0f; const-sky fwd %.0f)"
-                    % (sky_fwd, const_fwd)
+                    "(fwd-only %.0f; const-sky fwd %.0f%s)"
+                    % (sky_fwd, const_fwd, mfu)
                 ),
                 "value": round(sky_bwd, 1),
                 "unit": "Mrays/s",

@@ -59,7 +59,7 @@ class _FixedDraws:
 
 
 @functools.lru_cache(maxsize=16)
-def _physics_cost_cached(obj_type, light_index, config, tile):
+def _physics_cost_cached(obj_type, light_index, emissive, config, tile):
     from ray_tracing_tpu.kernels.megakernel import SceneView, tile_physics
 
     th, tw = tile
@@ -81,7 +81,7 @@ def _physics_cost_cached(obj_type, light_index, config, tile):
     )
 
     def f(rows, cam):
-        view = SceneView(rows, obj_type, light_index)
+        view = SceneView(rows, obj_type, light_index, emissive)
         xs = jnp.broadcast_to(jnp.arange(tw, dtype=jnp.float32), shape)
         ys = jnp.broadcast_to(jnp.arange(th, dtype=jnp.float32)[:, None], shape)
         u, v = 1.0 - xs / (tw - 1), 1.0 - ys / (th - 1)
@@ -105,7 +105,10 @@ def physics_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
     """XLA-counted cost of one pixel-sample of tile_physics for this scene
     topology (flops / transcendentals / bytes), per pixel."""
     return dict(
-        _physics_cost_cached(scene.obj_type, scene.light_index, config, tile)
+        _physics_cost_cached(
+            scene.obj_type, scene.light_index,
+            getattr(scene, "emissive", None), config, tile,
+        )
     )
 
 
