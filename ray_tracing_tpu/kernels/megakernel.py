@@ -360,13 +360,22 @@ class FetchReplayTracer:
     of the fetch matmul routes per-pixel cotangents to (N,16) row
     gradients automatically — no manual routing pass."""
 
-    def __init__(self, objs, rows, obj_type, light_index):
+    def __init__(self, objs, rows, obj_type, light_index, emissive=None):
         self._objs = list(objs)
         self._i = 0
         self._rows = rows
         self._obj_type = obj_type
         self._light_index = light_index
         self.has_light = light_index >= 0
+        # single-light occlusion recordings hold only {light_index, -1}:
+        # collapse the shadow fetch to the light's row (see
+        # trace_shadow_replay_fetch)
+        single = (
+            emissive is not None
+            and sum(bool(e) for e in emissive) == 1
+            and len(obj_type) <= UNROLL_LIMIT
+        )
+        self._shadow_li = light_index if single else None
 
     def _next(self):
         o = self._objs[self._i]
@@ -378,7 +387,9 @@ class FetchReplayTracer:
 
     def trace_shadow(self, ro, rd):
         del ro, rd  # occlusion is detached; emission comes from the fetch
-        return trace_shadow_replay_fetch(self._rows, self._next())
+        return trace_shadow_replay_fetch(
+            self._rows, self._next(), light_index=self._shadow_li
+        )
 
     def light_origin(self):
         li = self._light_index
@@ -856,7 +867,8 @@ def _bwd_kernel_fetch(
     cam_arr = cam_ref[...]       # (1, 16) value
 
     def f(scene_arr, cam_arr):
-        tracer = FetchReplayTracer(objs, scene_arr, obj_type, light_index)
+        tracer = FetchReplayTracer(objs, scene_arr, obj_type, light_index,
+                                   emissive=emissive)
         return tile_physics(None, cam_arr[0], u, v, draws, config,
                             (tile_h, tile_w), tracer=tracer)
 

@@ -780,15 +780,27 @@ def trace_replay_fetch(rows, obj, ro: Vec3, rd: Vec3) -> Hit:
     )
 
 
-def trace_shadow_replay_fetch(rows, obj):
+def trace_shadow_replay_fetch(rows, obj, light_index: int | None = None):
     """Differentiable (hit, emission) from recorded shadow winner indices
     (ns, th, tw): per-sample one-hot fetch of the emission columns only
-    (the only shadow quantity gradients flow through)."""
+    (the only shadow quantity gradients flow through).
+
+    When the forward recorded through the single-light occlusion path
+    (_trace_shadow_occlusion), every index is `light_index` or -1 — pass
+    it to collapse the N-row fetch to a 1-row fetch of the light's
+    emission (1 mask + 3 fma per sample instead of N + 3N, and the vjp's
+    one-hot matmul shrinks to one row; the slice adjoint routes the
+    gradient back to the full table)."""
     ns = obj.shape[0]
-    erows = rows[:, 12:15]
+    if light_index is not None:
+        erows = rows[light_index:light_index + 1, 12:15]
+        remap = lambda o: jnp.where(o == light_index, 0, -1).astype(jnp.int32)
+    else:
+        erows = rows[:, 12:15]
+        remap = lambda o: o
     ex, ey, ez = [], [], []
     for k in range(ns):
-        cols = fetch_winner_cols(erows, obj[k])
+        cols = fetch_winner_cols(erows, remap(obj[k]))
         ex.append(cols[0])
         ey.append(cols[1])
         ez.append(cols[2])

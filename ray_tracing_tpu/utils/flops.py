@@ -338,7 +338,8 @@ def fetch_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
     li = int(scene.light_index) if has_light else -1
 
     def g(rows, cam_arr):
-        tracer = FetchReplayTracer(objs, rows, scene.obj_type, li)
+        tracer = FetchReplayTracer(objs, rows, scene.obj_type, li,
+                                   emissive=getattr(scene, "emissive", None))
         return tile_physics(None, cam_arr[0], u, v, draws, config, shape,
                             tracer=tracer)
 
