@@ -9,6 +9,7 @@ closest-hit traces per pixel-sample (src/main.c:156,189).
 """
 
 import argparse
+import dataclasses
 import sys
 
 import jax
@@ -63,10 +64,18 @@ def main():
          8 if args.quick else 32, full.replace(pixel_jitter=True)),
         ("scene_0 1920x1080 full physics", "scene_0", 1920, 1080,
          4 if args.quick else 16, full),
+        # A/B: the exact full-scan shadow trace (emissive=None) vs the
+        # default single-light occlusion path the row above runs
+        ("scene_0 1920x1080 full, exact shadow scan (A/B)", "scene_0",
+         1920, 1080, 4 if args.quick else 16, full,
+         lambda s: dataclasses.replace(s, emissive=None)),
     ]
 
-    for label, sname, W, H, spp, cfg in cases:
+    for case in cases:
+        label, sname, W, H, spp, cfg = case[:6]
         scene = parse_scene_file(f"{REF}/{sname}.txt")
+        if len(case) == 7:
+            scene = case[6](scene)
         rays = rays_per_frame(W, H, 1, cfg)
 
         def fwd_pallas(s, seed):
