@@ -371,9 +371,7 @@ class FetchReplayTracer:
         # collapse the shadow fetch to the light's row (see
         # trace_shadow_replay_fetch)
         single = (
-            emissive is not None
-            and sum(bool(e) for e in emissive) == 1
-            and len(obj_type) <= UNROLL_LIMIT
+            emissive is not None and sum(bool(e) for e in emissive) == 1
         )
         self._shadow_li = light_index if single else None
 

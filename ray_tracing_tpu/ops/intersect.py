@@ -486,12 +486,17 @@ class ShadowRecord:
 def trace_shadow_record(scene, ro: Vec3, rd: Vec3):
     """trace_shadow + ShadowRecord (for path replay): unrolled for small
     scenes, packed-row loop above UNROLL_LIMIT."""
+    li = _single_emissive_index(scene)
     if scene.num_objects > UNROLL_LIMIT:
+        if li is not None:
+            hit, emiss, obj = _trace_shadow_occlusion_scan(scene, ro, rd, li)
+            return (hit, emiss), ShadowRecord(
+                obj=obj, hit=hit.astype(jnp.float32), emission=emiss
+            )
         h, rec = _trace_scan(scene, ro, rd, want_material=False, record=True)
         return (h.hit, h.emission), ShadowRecord(
             obj=rec.obj, hit=rec.hit, emission=rec.emission
         )
-    li = _single_emissive_index(scene)
     if li is not None:
         hit, emiss, obj = _trace_shadow_occlusion(scene, ro, rd, li)
     else:
@@ -612,6 +617,90 @@ def _trace_shadow_occlusion(scene, ro: Vec3, rd: Vec3, li: int):
     return hit, emiss, obj
 
 
+def _trace_shadow_occlusion_scan(scene, ro: Vec3, rd: Vec3, li: int):
+    """Large-scene (packed-row loop) variant of _trace_shadow_occlusion:
+    same value/gradient contract, but the running state is ONE occlusion
+    plane instead of the 11-plane winner carry of _trace_scan — and the
+    sphere branch uses the sqrt-free occlude_sphere algebra. Row strictness
+    (first-of-equal-t order) is selected by the traced row index against
+    the static light index. Works as lax.scan (XLA) and fori_loop with
+    SMEM scalar reads (in-kernel), like _trace_scan."""
+    d = rd.normalize()
+    a = d.dot(d)
+    shape = jnp.broadcast_shapes(ro.shape, d.shape)
+    ro = ro.broadcast_to(shape)
+    inv2a = 0.5 / a
+    inv = ray_inverses(d)
+
+    rows = scene.packed_rows()
+    in_kernel = getattr(scene, "in_kernel", False)
+
+    # the light's own intersection (static row index, static kind)
+    lcenter = Vec3(rows[li, 0], rows[li, 1], rows[li, 2])
+    if scene.is_sphere(li):
+        t_e = intersect_sphere(ro, d, a, lcenter, rows[li, 3], inv2a=inv2a)
+    else:
+        lhi = Vec3(rows[li, 0] + rows[li, 3], rows[li, 1] + rows[li, 4],
+                   rows[li, 2] + rows[li, 5])
+        t_e, _ = intersect_cube(ro, d, lcenter, lhi, inv=inv)
+    at_ref = a * t_e
+
+    def update(occ, get, i):
+        is_sph = get(15) == float(OBJ_SPHERE)
+        center = Vec3(get(0), get(1), get(2))
+
+        # sphere: both strictness variants share the algebraic setup
+        # (see occlude_sphere; inlined so D/w2 are computed once)
+        oc = center - ro
+        k = oc.dot(d)
+        c = oc.norm2() - get(3) * get(3)
+        D = k * k - a * c
+        valid = D > 0
+        w = k - at_ref
+        w2 = w * w
+        inside = (k < 0) | (c < 0)
+        s1_fwd = (k >= 0) | (c <= 0)
+        sph_strict = valid & (
+            (inside & (w < 0) & (D < w2) & s1_fwd)
+            | (~inside & ((w < 0) | (D > w2)))
+        )
+        sph_ns = valid & (
+            (inside & (w <= 0) & (D <= w2) & s1_fwd)
+            | (~inside & ((w <= 0) | (D >= w2)))
+        )
+
+        hi = Vec3(get(0) + get(3), get(1) + get(4), get(2) + get(5))
+        t_c, _ = intersect_cube(ro, d, center, hi, inv=inv)
+
+        strict = i > li  # scalar: broadcasts over the masks
+        occ_sph = (strict & sph_strict) | (~strict & sph_ns)
+        occ_cub = (strict & (t_c < t_e)) | (~strict & (t_c <= t_e))
+        occ_i = jnp.where(is_sph, occ_sph, occ_cub) & (i != li)
+        # float 0/1 carry: Mosaic cannot carry bool arrays through fori
+        return jnp.maximum(occ, occ_i.astype(occ.dtype))
+
+    occ0 = jnp.zeros(shape, d.dtype)
+    if in_kernel:
+        occ = jax.lax.fori_loop(
+            0, scene.num_objects,
+            lambda i, c: update(c, lambda col: rows[i, col], i),
+            occ0,
+        )
+    else:
+        idx = jnp.arange(scene.num_objects, dtype=jnp.int32)
+        occ, _ = jax.lax.scan(
+            lambda c, row_i: (update(c, lambda col: row_i[0][col], row_i[1]), None),
+            occ0,
+            (rows, idx),
+        )
+
+    hit = (t_e < HIT_THRESHOLD) & (occ < 0.5)
+    lemiss = Vec3(rows[li, 12], rows[li, 13], rows[li, 14])
+    emiss = Vec3.where(hit, lemiss.broadcast_to(shape), Vec3.zeros(shape))
+    obj = jnp.where(hit, li, -1).astype(jnp.int32)
+    return hit, emiss, obj
+
+
 def _trace_shadow_unrolled(scene, ro: Vec3, rd: Vec3, want_obj: bool):
     d = rd.normalize()
     a = d.dot(d)
@@ -653,10 +742,13 @@ def trace_shadow(scene: Scene, ro: Vec3, rd: Vec3):
     the occlusion-only fast path — see _trace_shadow_occlusion for the
     value/gradient contract and `replace(scene, emissive=None)` for the
     exact-scan opt-out."""
+    li = _single_emissive_index(scene)
     if scene.num_objects > UNROLL_LIMIT:
+        if li is not None:
+            hit, emiss, _ = _trace_shadow_occlusion_scan(scene, ro, rd, li)
+            return hit, emiss
         h = _trace_scan(scene, ro, rd, want_material=False)
         return h.hit, h.emission
-    li = _single_emissive_index(scene)
     if li is not None:
         hit, emiss, _ = _trace_shadow_occlusion(scene, ro, rd, li)
         return hit, emiss

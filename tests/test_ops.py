@@ -548,3 +548,50 @@ def test_shadow_fast_path_gradients_route_to_light_only():
     assert np.any(np.asarray(g_fast[:li]) != 0.0)
     # and the exact scan additionally carries the NEE path for them
     assert np.any(np.asarray(g_fast[:li]) != np.asarray(g_exact[:li]))
+
+
+def test_shadow_occlusion_scan_matches_full_scan():
+    """Large-scene (packed-row) occlusion shadow path: same contract as
+    the unrolled variant, validated against the 11-carry _trace_scan on a
+    60-object single-light scene (> UNROLL_LIMIT)."""
+    import dataclasses as _dc
+
+    from ray_tracing_tpu.ops.intersect import (
+        UNROLL_LIMIT, trace_shadow, trace_shadow_record,
+    )
+
+    rng = np.random.default_rng(3)
+    objs = []
+    for i in range(60):
+        kind = "sphere" if i % 2 else "cube"
+        objs.append(ObjectSpec(
+            kind=kind, p0=tuple(rng.uniform(-6, 6, 3)),
+            p1=tuple(rng.uniform(0.3, 1.5, 3)) if kind == "cube"
+            else (float(rng.uniform(0.3, 1.2)),) * 3,
+            albedo=tuple(rng.uniform(0, 1, 3)),
+            emission_power=3.0 if i == 17 else 0.0,
+            emission_color=(1.0, 0.8, 0.6),
+        ))
+    s = Scene.from_objects(objs)
+    assert s.num_objects > UNROLL_LIMIT
+    exact = _dc.replace(s, emissive=None)
+    li = s.light_index
+
+    n = 4096
+    ro = to_vec3(rng.uniform(-8, 8, (n, 3)))
+    rd = to_vec3(rng.uniform(-1, 1, (n, 3)))
+    rd = Vec3(rd.x.at[:64].set(0.0), rd.y, rd.z)  # axis-parallel lanes
+
+    h1, e1 = trace_shadow(s, ro, rd)
+    h0, e0 = trace_shadow(exact, ro, rd)
+    for c1, c0 in zip((e1.x, e1.y, e1.z), (e0.x, e0.y, e0.z)):
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(h1, c1, 0.0)),
+            np.asarray(jnp.where(h0, c0, 0.0)),
+        )
+    (_, _), r1 = trace_shadow_record(s, ro, rd)
+    (_, _), r0 = trace_shadow_record(exact, ro, rd)
+    o1, o0 = np.asarray(r1.obj), np.asarray(r0.obj)
+    assert set(np.unique(o1).tolist()) <= {li, -1}
+    np.testing.assert_array_equal(o1 == li, o0 == li)
+    assert np.any(o1 == li)  # the light is actually visible somewhere
