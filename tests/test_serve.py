@@ -149,3 +149,20 @@ def test_film_checkpoint_resume(tmp_path):
     svc3 = RenderService(scene, 32, 24, cfg, constant_sky((0.4, 0.5, 0.6)),
                          use_pallas=False, film_checkpoint=ck)
     assert float(svc3.film.weight) == 0.0
+
+    # a different SCENE with the same checkpoint dir must not blend the
+    # old scene's radiance in (digest gate, serve.py::_film_digest)
+    scene_b = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(-3.0, 3.0, 3.0), p1=(1.0,) * 3),
+    ])
+    svc4 = RenderService(scene_b, 24, 16, cfg, constant_sky((0.4, 0.5, 0.6)),
+                         use_pallas=False, film_checkpoint=ck)
+    assert float(svc4.film.weight) == 0.0
+
+    # ... and so must a different physics CONFIG
+    svc5 = RenderService(scene, 24, 16,
+                         RenderConfig(bounces=2, shadow_samples=1,
+                                      init_scale=2),
+                         constant_sky((0.4, 0.5, 0.6)),
+                         use_pallas=False, film_checkpoint=ck)
+    assert float(svc5.film.weight) == 0.0
