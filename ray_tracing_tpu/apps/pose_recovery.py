@@ -10,8 +10,12 @@ our render aligns with it. Produces renders/*_recovered_pose.png.
         --target /root/reference/assets/screenshot_3.png \
         --init-pos 0,0.35,6 --init-front 0,0,-1
 
-Result on screenshot_3: downsampled mae 0.155 -> 0.070, correlation
-0.79 -> 0.88 vs the manual starting guess.
+Result on screenshot_3 (coarse grid + two-stage Adam): downsampled mae
+0.155 -> 0.050, correlation 0.79 (manual guess) -> 0.901 point-sampled
+/ 0.907 antialiased. The pose is converged at that point: re-fitting
+with full 10-bounce physics or jittered sampling moves neither the loss
+nor the correlation — the residual is the converged screenshot's
+accumulation AA + resize pipeline, not pose error.
 """
 
 from __future__ import annotations
@@ -109,14 +113,29 @@ def main(argv=None):
         config=cfg, cubemap=cubemap, callback=cb,
     )
     print(f"loss {losses[0]:.5f} -> {losses[-1]:.5f}", file=sys.stderr)
+
+    # fine-tune: the main fit plateaus on its spp-{args.spp} gradient
+    # noise (late-step losses oscillate); a short low-LR pass at 4x spp
+    # settles the pose (+0.005 corr on screenshot_3)
+    _, rec, losses = fit(
+        scene, rec, jnp.asarray(tgt), mesh,
+        scene_fields=(), camera_fields=("pos", "front"),
+        steps=max(args.steps // 2, 20), lr=args.lr / 5, spp=args.spp * 4,
+        config=cfg, cubemap=cubemap, callback=cb,
+    )
+    print(f"fine-tune loss -> {losses[-1]:.5f}", file=sys.stderr)
     print("pos:", np.asarray(rec.pos).round(4).tolist(), file=sys.stderr)
     print("front:", np.asarray(rec.front).round(4).tolist(), file=sys.stderr)
 
-    # headline metric: pixel correlation of the recovered-pose render
+    # headline metric: pixel correlation of the recovered-pose render.
+    # The target is a CONVERGED accumulation (antialiased by the resize);
+    # evaluate with jittered sub-pixel sampling so the comparison isn't
+    # dominated by point-sampled edge aliasing.
     from ray_tracing_tpu.render.integrator import render_image
 
     chk = np.asarray(render_image(
-        scene, rec, W, H, jax.random.key(11), spp=16, config=cfg,
+        scene, rec, W, H, jax.random.key(11), spp=32,
+        config=dataclasses.replace(cfg, pixel_jitter=True),
         cubemap=cubemap,
     ))
     corr = float(np.corrcoef(chk.ravel(), tgt.ravel())[0, 1])
