@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ray_tracing_tpu.utils.timing import timed_marginal
+from ray_tracing_tpu.utils.timing import timed_per_sample
 
 REF_CPU_MRAYS_32T = 290.6  # see module docstring
 
@@ -74,9 +74,7 @@ def main():
         # marginal timing with per-call distinct seeds + host materialization
         # (utils/timing.py): immune to client-side request caching, to a
         # non-blocking block_until_ready, and to fixed dispatch/fetch costs.
-        make_args = lambda i: (scene, 1000 + i)
-        jax.block_until_ready(fn(*make_args(-1)))  # compile + warm
-        return timed_marginal(fn, make_args, repeats=2) / spp
+        return timed_per_sample(fn, scene, n=spp)
 
     def mrays(dt):
         return rays_fwd / dt / 1e6
@@ -129,7 +127,7 @@ def main():
                 bwd_vpu = max(
                     0.0,
                     F.fetch_vjp_cost_per_pixel(scene, config)["flops_per_px"]
-                    - F.routing_mxu_flops_per_pixel(scene, config),
+                    - F.fetch_mxu_flops_per_pixel(scene, config),
                 )
                 rec_passes = 1  # fwd persists winner indices: no re-record
             else:

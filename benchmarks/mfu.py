@@ -36,7 +36,7 @@ from ray_tracing_tpu.kernels.megakernel import render_image_pallas
 from ray_tracing_tpu.ops.cubemap import constant_sky
 from ray_tracing_tpu.scene.parser import parse_scene_file
 from ray_tracing_tpu.utils import flops as F
-from ray_tracing_tpu.utils.timing import timed_marginal
+from ray_tracing_tpu.utils.timing import timed_per_sample
 
 WIDTH, HEIGHT = 1920, 1080
 
@@ -53,9 +53,7 @@ def cpu_ctx():
 def timed(fn, scene, *, n):
     """Marginal per-call time (utils/timing.py) / n samples. Seeds vary
     per call so no two dispatches are identical requests."""
-    make_args = lambda i: (scene, 1000 + i)
-    jax.block_until_ready(fn(*make_args(-1)))  # compile + warm
-    return timed_marginal(fn, make_args, repeats=2) / n
+    return timed_per_sample(fn, scene, n=n)
 
 
 def main():
@@ -99,7 +97,7 @@ def main():
                 bwd_vpu = max(
                     0.0,
                     bwd_vjp["flops_per_px"]
-                    - F.routing_mxu_flops_per_pixel(scene, config),
+                    - F.fetch_mxu_flops_per_pixel(scene, config),
                 )
                 # fetch: NO recording pass — winner indices are residuals
                 # persisted by the forward (IndexRecordingTracer)
@@ -149,10 +147,13 @@ def main():
         rows.append(row("fwd const-sky", t_const, fwd_flops))
         rows.append(row("fwd skybox", t_sky, fwd_flops))
         rows.append(row("fwd+bwd skybox", t_bwd, fwdbwd_flops))
+        mxu = (F.fetch_mxu_flops_per_pixel(scene, config)
+               if config.bwd_mode == "fetch"
+               else F.routing_mxu_flops_per_pixel(scene, config))
         print(f"  {name}: physics {phys['flops_per_px']:.0f} flops/px "
               f"(+{phys['transcendentals_per_px']:.0f} transc, {prng:.0f} prng), "
-              f"replay-vjp {bwd_vjp['flops_per_px']:.0f} flops/px, "
-              f"routing {F.routing_mxu_flops_per_pixel(scene, config):.0f} MXU flops/px",
+              f"{config.bwd_mode}-vjp {bwd_vjp['flops_per_px']:.0f} flops/px, "
+              f"routing {mxu:.0f} MXU flops/px",
               file=sys.stderr)
 
     print("\n| scene | case | ms/sample | flops/px | TFLOP/s | MFU% of VPU peak |")

@@ -29,11 +29,9 @@ def timeit(fn, scene, *, n):
     """Marginal per-call time / n samples (utils/timing.py): distinct
     seeds per call + host materialization — immune to tunnel-side request
     caching and to a non-blocking block_until_ready."""
-    from ray_tracing_tpu.utils.timing import timed_marginal
+    from ray_tracing_tpu.utils.timing import timed_per_sample
 
-    make_args = lambda i: (scene, 1000 + i)
-    jax.block_until_ready(fn(*make_args(-1)))  # compile + warm
-    return timed_marginal(fn, make_args, repeats=2) / n
+    return timed_per_sample(fn, scene, n=n)
 
 
 def main():

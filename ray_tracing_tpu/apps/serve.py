@@ -99,6 +99,7 @@ class RenderService:
         self.started = time.time()
         self.film_checkpoint = film_checkpoint
         self.film_checkpoint_every = film_checkpoint_every
+        self._digest = None
         if film_checkpoint:
             self._restore_film_state()
 
@@ -165,16 +166,29 @@ class RenderService:
 
     def _film_digest(self):
         """Identity of what the film accumulates: scene geometry/materials,
-        physics config and resolution. A checkpoint from a different scene
-        or config must NOT be blended into this render (it would display
-        stale radiance until the camera moves)."""
+        physics config, resolution and the SKY (a film lit by a different
+        cubemap is stale radiance too). A checkpoint from a different
+        identity must NOT be blended into this render (it would display
+        stale radiance until the camera moves). The kernel choice
+        (pallas/xla) is deliberately excluded: both accumulate the same
+        estimator, so mixing their passes stays a valid film. Cached —
+        everything hashed is fixed for the service lifetime, and the
+        cubemap hash is megabytes of one-time work."""
+        if self._digest is not None:
+            return self._digest
         import hashlib
 
         h = hashlib.sha256()
         h.update(np.asarray(self.scene.packed_rows()).tobytes())
         h.update(repr(self.config).encode())
         h.update(np.asarray([self.width, self.height], np.int64).tobytes())
-        return np.frombuffer(h.digest()[:8], dtype=np.int64)[0]
+        cm = self.cubemap
+        h.update(np.asarray([cm.h, cm.w], np.int64).tobytes())
+        for leaf in (cm.packed, cm.r, cm.g, cm.b):
+            if leaf is not None:
+                h.update(np.asarray(leaf).tobytes())
+        self._digest = np.frombuffer(h.digest()[:8], dtype=np.int64)[0]
+        return self._digest
 
     def _restore_film_state(self):
         """Resume a long progressive render across restarts: the Film AND

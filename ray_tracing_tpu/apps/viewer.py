@@ -53,7 +53,10 @@ def poll_events(timeout: float = 0.0):
     got_new = False
     while select.select([sys.stdin], [], [], timeout)[0]:
         timeout = 0.0
-        ch = os.read(sys.stdin.fileno(), 64).decode(errors="ignore")
+        # latin-1: 1 byte == 1 char, lossless. X10 mouse payloads carry
+        # raw bytes >= 0x80 for coordinates > 95; a utf-8 decode would
+        # silently drop them and shift the parse frame.
+        ch = os.read(sys.stdin.fileno(), 64).decode("latin-1")
         if not ch:
             break
         buf += ch

@@ -25,7 +25,7 @@ from ray_tracing_tpu.ops.cubemap import CubemapData
 from ray_tracing_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
 from ray_tracing_tpu.parallel.render import _local_tile_render, resolve_kernel
 from ray_tracing_tpu.render.camera import Camera
-from ray_tracing_tpu.scene.types import Scene
+from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene
 
 SCENE_PARAM_FIELDS = (
     "p0", "p1", "albedo", "roughness", "reflectance", "metallic",
@@ -308,7 +308,7 @@ def coarse_pose_search(
     # scene bounding box from the packed rows (concrete here: the search is
     # a non-differentiable preprocessing stage)
     rows = np.asarray(base_scene.packed_rows())
-    is_sph = np.asarray(base_scene.obj_type) == 1
+    is_sph = np.asarray(base_scene.obj_type) == OBJ_SPHERE
     p0, p1 = rows[:, 0:3], rows[:, 3:6]
     lo = np.where(is_sph[:, None], p0 - p1[:, :1], p0)
     hi = np.where(is_sph[:, None], p0 + p1[:, :1], p0 + p1)

@@ -47,6 +47,7 @@ from ray_tracing_tpu.ops.intersect import (
     UNROLL_LIMIT,
     ShadowRecord,
     TraceRecord,
+    _single_emissive_index,
     trace,
     trace_record,
     trace_replay,
@@ -367,13 +368,12 @@ class FetchReplayTracer:
         self._obj_type = obj_type
         self._light_index = light_index
         self.has_light = light_index >= 0
-        # single-light occlusion recordings hold only {light_index, -1}:
-        # collapse the shadow fetch to the light's row (see
-        # trace_shadow_replay_fetch)
-        single = (
-            emissive is not None and sum(bool(e) for e in emissive) == 1
-        )
-        self._shadow_li = light_index if single else None
+        self.emissive = emissive
+        # single-light occlusion recordings hold only {emissive-index, -1}
+        # (trace_shadow_record keys on the SAME helper): collapse the
+        # shadow fetch to that row — not light_index, which a hand-built
+        # emissive override may not match (see trace_shadow_replay_fetch)
+        self._shadow_li = _single_emissive_index(self)
 
     def _next(self):
         o = self._objs[self._i]

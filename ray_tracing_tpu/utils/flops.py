@@ -371,6 +371,35 @@ def routing_mxu_flops_per_pixel(scene, config: RenderConfig) -> float:
     return n_records * 2.0 * n * 16 * 6
 
 
+def fetch_mxu_flops_per_pixel(scene, config: RenderConfig,
+                              passes: int = 1) -> float:
+    """Dot flops of the FETCH backward's vjp graph — the one-hot
+    dot_generals inside fetch_winner_cols' custom vjp, per pixel. Unlike
+    the replay routing model above, shadow records fetch only the 3
+    emission columns, and from a SINGLE row when the single-light
+    occlusion collapse applies (trace_shadow_replay_fetch): subtracting
+    the replay model instead would over-subtract ~2*N*13 flops per
+    shadow record, clamp the VPU numerator to zero and destroy the
+    reported bwd MFU.
+
+    passes: XLA's cost analysis prices a dot at ONE pass regardless of
+    precision (measured; see timing.py's methodology notes), so the
+    default matches what fetch_vjp_cost_per_pixel counted and is the
+    right value to SUBTRACT for a VPU-only numerator. On TPU hardware
+    the precision=HIGHEST lowering runs 6 MXU passes — pass passes=6
+    for an MXU-time estimate (the convention routing_mxu_flops_per_pixel
+    uses)."""
+    from ray_tracing_tpu.ops.intersect import _single_emissive_index
+
+    n = scene.num_objects
+    b = config.bounces
+    mxu = b * 2.0 * n * 16  # primary trace fetches: (N,P)x(16,P)
+    if scene.has_light:
+        rows = 1 if _single_emissive_index(scene) is not None else n
+        mxu += b * config.shadow_samples * 2.0 * rows * 3
+    return mxu * passes
+
+
 def rays_per_sample(width: int, height: int, config: RenderConfig) -> int:
     """The SURVEY §6 / bench.py ray-accounting model (bounces x (1 +
     shadow_samples) dispatches per pixel-sample). NOTE this is a *cost

@@ -89,3 +89,14 @@ def timed_marginal(fn, make_args, *, k: int = 1, k1: int = 1, repeats: int = 2):
     t_small = min(window(k1) for _ in range(repeats))
     t_big = min(window(k1 + k) for _ in range(repeats))
     return (t_big - t_small) / k
+
+
+def timed_per_sample(fn, scene, *, n, repeats: int = 2):
+    """The benchmark protocol shared by bench.py, benchmarks/run_all.py
+    and benchmarks/mfu.py: compile+warm `fn(scene, seed)` once with a
+    distinct seed, then marginal per-call time (seeds 1001, 1002, ... so
+    no two dispatches are identical requests) divided by the `n` samples
+    the call accumulates on-device."""
+    make_args = lambda i: (scene, 1000 + i)
+    jax.block_until_ready(fn(*make_args(-1)))  # compile + warm
+    return timed_marginal(fn, make_args, repeats=repeats) / n

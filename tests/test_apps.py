@@ -311,6 +311,33 @@ def test_poll_events_parses_x10_mouse_payload(monkeypatch):
     assert events.count((vmod.EV_W, None)) == 1  # no payload-injected moves
 
 
+def test_poll_events_x10_payload_high_coordinates(monkeypatch):
+    """X10 coordinates > 95 encode as raw bytes >= 0x80 (not valid UTF-8).
+    The byte-lossless decode must keep them: a 132-column report is
+    (32+100)=0x84; dropping it would shift the parse frame onto the next
+    real keystroke."""
+    import os as _os
+
+    from ray_tracing_tpu.apps import viewer as vmod
+
+    r, w = _os.pipe()
+    payload = bytes([0x1B, ord("["), ord("M"), 32 + 35, 32 + 100, 32 + 130])
+    _os.write(w, payload + b"w")
+    _os.close(w)
+
+    class FakeStdin:
+        def fileno(self):
+            return r
+
+    monkeypatch.setattr(vmod.sys, "stdin", FakeStdin())
+    vmod._pending = ""
+    events = vmod.poll_events(timeout=0.2)
+    _os.close(r)
+    assert (vmod.EV_MOUSE, (100.0, 130.0)) in events
+    assert events.count((vmod.EV_W, None)) == 1
+    assert (vmod.EV_QUIT, None) not in events
+
+
 def test_poll_events_x10_payload_split_across_reads(monkeypatch):
     """A split X10 payload waits for its continuation (carry buffer)."""
     import os as _os

@@ -166,3 +166,8 @@ def test_film_checkpoint_resume(tmp_path):
                          constant_sky((0.4, 0.5, 0.6)),
                          use_pallas=False, film_checkpoint=ck)
     assert float(svc5.film.weight) == 0.0
+
+    # ... and a different SKY (the film's radiance depends on it)
+    svc6 = RenderService(scene, 24, 16, cfg, constant_sky((0.9, 0.1, 0.1)),
+                         use_pallas=False, film_checkpoint=ck)
+    assert float(svc6.film.weight) == 0.0
