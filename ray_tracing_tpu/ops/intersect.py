@@ -150,13 +150,20 @@ def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3, inv=None):
     tmax = Vec3.where_c(pos, t_b, t_a)
 
     miss = (tmin.x > tmax.y) | (tmin.y > tmax.x)           # src/scene.c:47
+    # comparison-based updates, NOT maximum/minimum: the C code's
+    # `if (tymin > txmin) txmin = tymin` KEEPS the incumbent when the
+    # challenger is NaN (0/0 slab: origin exactly on a face plane with a
+    # zero direction component) because NaN comparisons are false, while
+    # jnp.maximum would propagate the NaN and turn the reference's hit
+    # into a miss. Off the NaN lanes where(b > a, b, a) == maximum(a, b)
+    # bit-exactly, so fwd/bwd stream identity is untouched.
     y_tightens = tmin.y > tmin.x
-    near = jnp.maximum(tmin.x, tmin.y)
-    far = jnp.minimum(tmax.x, tmax.y)
+    near = jnp.where(y_tightens, tmin.y, tmin.x)
+    far = jnp.where(tmax.y < tmax.x, tmax.y, tmax.x)
 
     miss = miss | (near > tmax.z) | (tmin.z > far)         # src/scene.c:61
     z_tightens = tmin.z > near
-    near = jnp.maximum(near, tmin.z)
+    near = jnp.where(z_tightens, tmin.z, near)
 
     axis = jnp.where(z_tightens, 2, jnp.where(y_tightens, 1, 0))
     sx = jnp.where(d.x > 0, -1.0, 1.0)

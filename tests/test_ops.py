@@ -137,6 +137,35 @@ def test_cube_inside_origin_rejected():
     assert float(t) >= HIT_THRESHOLD
 
 
+def test_cube_origin_on_slab_plane_matches_c_nan_semantics():
+    """Origin EXACTLY on a face plane with a zero direction component is
+    the 0/0 slab (NaN) lane. The reference's comparison-based updates
+    (src/scene.c:50,65: `if (tymin > txmin)`) KEEP the incumbent on NaN
+    comparisons; jnp.maximum would propagate the NaN and miss. Pinned
+    against the scalar oracle, whose Python ifs share C's semantics."""
+    from tests.oracle import cube_t_normal
+
+    lo, hi = Vec3.of(0.0, 0.0, 0.0), Vec3.of(1.0, 1.0, 1.0)
+    # ro.y == lo.y, d.y == +0: tymin = 0/0 = NaN, tymax = +inf.
+    # C keeps txmin from the x slab -> HIT at t=1 through the x range.
+    ro, d = Vec3.of(-1.0, 0.0, 0.5), Vec3.of(1.0, 0.0, 0.0)
+    t, n = intersect_cube(ro, d, lo, hi)
+    ref = cube_t_normal(np.array([-1.0, 0.0, 0.5]), np.array([1.0, 0.0, 0.0]),
+                        np.zeros(3), np.ones(3))
+    assert ref is not None and ref[0] == pytest.approx(1.0)
+    assert float(t) == pytest.approx(1.0)
+    assert float(n.x) == -1.0
+
+    # ro.x == lo.x, d.x == +0: txmin itself is NaN and C KEEPS it NaN
+    # (tnear = NaN -> trace_ray's t >= 0 rejects). We must miss too.
+    ro2, d2 = Vec3.of(0.0, 0.5, -1.0), Vec3.of(0.0, 0.0, 1.0)
+    t2, _ = intersect_cube(ro2, d2, lo, hi)
+    ref2 = cube_t_normal(np.array([0.0, 0.5, -1.0]), np.array([0.0, 0.0, 1.0]),
+                         np.zeros(3), np.ones(3))
+    assert ref2 is None or not (ref2[0] >= 0) or np.isnan(ref2[0])
+    assert float(t2) >= HIT_THRESHOLD
+
+
 def _random_scene(num=6):
     objs = []
     for i in range(num):
