@@ -186,6 +186,23 @@ def intersect_cube(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3, inv=None):
 UNROLL_LIMIT = 48
 
 
+def _finish_hit(hit, t, is_sph, center, cube_n, ro: Vec3, d: Vec3):
+    """Shared (point, normal) finalization of a resolved closest hit.
+
+    The path-replay contract requires the replayed t/point/normal to be
+    BIT-IDENTICAL to the recorded forward's, so every tracer that
+    finalizes a Hit — trace, _trace_scan, trace_replay,
+    trace_replay_fetch — MUST flow through this one sequence (same ops,
+    same order); a drifted copy would desynchronize gradient routing
+    silently. `center` is the winner's p0 (sphere center / cube lo — the
+    sphere normal formula only reads it on sphere lanes)."""
+    t_pt = jnp.where(hit, t, 0.0)  # keep point finite on miss
+    point = ro + d * t_pt
+    sphere_n = (point - center).normalize()
+    normal = Vec3.where(is_sph, sphere_n, cube_n)
+    return point, normal
+
+
 def trace(scene: Scene, ro: Vec3, rd: Vec3, record: bool = False):
     """Closest hit with winner material, batched over ro/rd's shape.
     record=True also returns the TraceRecord (path replay)."""
@@ -249,10 +266,8 @@ def trace(scene: Scene, ro: Vec3, rd: Vec3, record: bool = False):
         emiss_best = Vec3.where(win, scene.emission_of(i).broadcast_to(shape), emiss_best)
 
     hit = t_best < HIT_THRESHOLD
-    t_pt = jnp.where(hit, t_best, 0.0)  # keep point finite on miss
-    point = ro + d * t_pt
-    sphere_n = (point - center_best).normalize()
-    normal = Vec3.where(sphere_win, sphere_n, cube_n_best)
+    point, normal = _finish_hit(
+        hit, t_best, sphere_win, center_best, cube_n_best, ro, d)
 
     h = Hit(
         t=t_best,
@@ -409,10 +424,8 @@ def _trace_scan(scene, ro: Vec3, rd: Vec3, want_material: bool,
      albedo_best, rough_best, refl_best, metal_best, emiss_best) = final
 
     hit = t_best < HIT_THRESHOLD
-    t_pt = jnp.where(hit, t_best, 0.0)
-    point = ro + d * t_pt
-    sphere_n = (point - center_best).normalize()
-    normal = Vec3.where(sphere_win > 0.5, sphere_n, cube_n_best)
+    point, normal = _finish_hit(
+        hit, t_best, sphere_win > 0.5, center_best, cube_n_best, ro, d)
 
     h = Hit(
         t=t_best, hit=hit, obj=obj_best, point=point, normal=normal,
@@ -465,10 +478,7 @@ def trace_replay(rec: TraceRecord, ro: Vec3, rd: Vec3) -> Hit:
     t = jnp.where(is_sph, t_s, t_c)
     t = jnp.where(hit, t, BIG)  # miss pixels carry init-zero params: mask
 
-    t_pt = jnp.where(hit, t, 0.0)
-    point = ro + d * t_pt
-    sphere_n = (point - rec.p0).normalize()
-    normal = Vec3.where(is_sph, sphere_n, n_c)
+    point, normal = _finish_hit(hit, t, is_sph, rec.p0, n_c, ro, d)
 
     return Hit(
         t=t, hit=hit, obj=rec.obj, point=point, normal=normal,
@@ -535,6 +545,18 @@ def occlude_sphere(ro: Vec3, d: Vec3, a, center: Vec3, radius, at_ref,
     differently from the sqrt+divide formulation (same ulp-level budget
     as ray_inverses); fwd and bwd share this code path so the stream
     bit-identity invariant is untouched."""
+    s, ns = _occlude_sphere_masks(ro, d, a, center, radius, at_ref)
+    return s if strict else ns
+
+
+def _occlude_sphere_masks(ro: Vec3, d: Vec3, a, center: Vec3, radius,
+                          at_ref):
+    """Both strictness variants of occlude_sphere from ONE algebraic
+    setup: (strict, non-strict) boolean masks. The single shared core —
+    occlude_sphere selects its static variant (XLA dead-code-eliminates
+    the other), _trace_shadow_occlusion_scan blends both by the traced
+    row-vs-light order. Any fix to the root-choice algebra lands in both
+    paths by construction."""
     oc = center - ro
     k = oc.dot(d)
     c = oc.norm2() - radius * radius
@@ -544,13 +566,16 @@ def occlude_sphere(ro: Vec3, d: Vec3, a, center: Vec3, radius, at_ref,
     w2 = w * w
     inside = (k < 0) | (c < 0)        # s0 < 0
     s1_fwd = (k >= 0) | (c <= 0)      # s1 >= 0
-    if strict:
-        occ_s0 = (w < 0) | (D > w2)   # s0 <  t_ref (sq > w)
-        occ_s1 = (w < 0) & (D < w2)   # s1 <  t_ref (sq < -w)
-    else:
-        occ_s0 = (w <= 0) | (D >= w2)
-        occ_s1 = (w <= 0) & (D <= w2)
-    return valid & jnp.where(inside, occ_s1 & s1_fwd, occ_s0)
+    # s0 OP t_ref <=> sqrt(D) inv-OP k - a*t_ref, squared away (see doc)
+    strict = valid & (
+        (inside & (w < 0) & (D < w2) & s1_fwd)
+        | (~inside & ((w < 0) | (D > w2)))
+    )
+    nonstrict = valid & (
+        (inside & (w <= 0) & (D <= w2) & s1_fwd)
+        | (~inside & ((w <= 0) | (D >= w2)))
+    )
+    return strict, nonstrict
 
 
 def _single_emissive_index(scene):
@@ -656,25 +681,10 @@ def _trace_shadow_occlusion_scan(scene, ro: Vec3, rd: Vec3, li: int):
         is_sph = get(15) == float(OBJ_SPHERE)
         center = Vec3(get(0), get(1), get(2))
 
-        # sphere: both strictness variants share the algebraic setup
-        # (see occlude_sphere; inlined so D/w2 are computed once)
-        oc = center - ro
-        k = oc.dot(d)
-        c = oc.norm2() - get(3) * get(3)
-        D = k * k - a * c
-        valid = D > 0
-        w = k - at_ref
-        w2 = w * w
-        inside = (k < 0) | (c < 0)
-        s1_fwd = (k >= 0) | (c <= 0)
-        sph_strict = valid & (
-            (inside & (w < 0) & (D < w2) & s1_fwd)
-            | (~inside & ((w < 0) | (D > w2)))
-        )
-        sph_ns = valid & (
-            (inside & (w <= 0) & (D <= w2) & s1_fwd)
-            | (~inside & ((w <= 0) | (D >= w2)))
-        )
+        # sphere: both strictness variants from the one shared core
+        # (D/w2 computed once; see _occlude_sphere_masks)
+        sph_strict, sph_ns = _occlude_sphere_masks(
+            ro, d, a, center, get(3), at_ref)
 
         hi = Vec3(get(0) + get(3), get(1) + get(4), get(2) + get(5))
         t_c, _ = intersect_cube(ro, d, center, hi, inv=inv)
@@ -866,10 +876,7 @@ def trace_replay_fetch(rows, obj, ro: Vec3, rd: Vec3) -> Hit:
     t = jnp.where(is_sph, t_s, t_c)
     t = jnp.where(hit, t, BIG)  # miss pixels fetched all-zero rows: mask
 
-    t_pt = jnp.where(hit, t, 0.0)
-    point = ro + d * t_pt
-    sphere_n = (point - p0).normalize()
-    normal = Vec3.where(is_sph, sphere_n, n_c)
+    point, normal = _finish_hit(hit, t, is_sph, p0, n_c, ro, d)
 
     return Hit(
         t=t, hit=hit, obj=obj, point=point, normal=normal,
