@@ -59,7 +59,7 @@ from ray_tracing_tpu.ops.intersect import (
 )
 from ray_tracing_tpu.ops.vec import Vec3, fresnel_schlick
 from ray_tracing_tpu.render.camera import Camera, screen_height
-from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene
+from ray_tracing_tpu.scene.types import OBJ_SPHERE, Scene, light_origin_from
 
 LANE = 128
 # ONE tile shape for forward AND backward: the per-tile PRNG seed and the
@@ -165,12 +165,10 @@ class SceneView:
         return Vec3(self._r[i, 12], self._r[i, 13], self._r[i, 14])
 
     def origin_of(self, i):
-        if self.is_sphere(i):
-            return self.center(i)
-        return Vec3(
-            self._r[i, 0] + 0.5 * self._r[i, 3],
-            self._r[i, 1] + 0.5 * self._r[i, 4],
-            self._r[i, 2] + 0.5 * self._r[i, 5],
+        return light_origin_from(
+            self.center(i),
+            Vec3(self._r[i, 3], self._r[i, 4], self._r[i, 5]),
+            self.is_sphere(i),
         )
 
     def packed_rows(self):
@@ -209,9 +207,13 @@ class StreamingDraws:
     [3 uniforms], branch(b) [1 uniform]."""
 
     def __init__(self, shape, config: RenderConfig, has_light: bool):
+        # has_light is accepted for signature symmetry with
+        # PrecomputedDraws but deliberately NOT stored: the shadow-draw
+        # skip lives in tile_physics (gated on tracer.has_light), which
+        # simply never calls shadow() for light-less scenes.
+        del has_light
         self.shape = shape
         self.config = config
-        self.has_light = has_light
 
     def _dir(self, shape):
         return _rand_dir_from_uniforms(
@@ -392,12 +394,10 @@ class FetchReplayTracer:
     def light_origin(self):
         li = self._light_index
         r = self._rows
-        if self._obj_type[li] == OBJ_SPHERE:
-            return Vec3(r[li, 0], r[li, 1], r[li, 2])
-        return Vec3(
-            r[li, 0] + 0.5 * r[li, 3],
-            r[li, 1] + 0.5 * r[li, 4],
-            r[li, 2] + 0.5 * r[li, 5],
+        return light_origin_from(
+            Vec3(r[li, 0], r[li, 1], r[li, 2]),
+            Vec3(r[li, 3], r[li, 4], r[li, 5]),
+            self._obj_type[li] == OBJ_SPHERE,
         )
 
 
@@ -430,9 +430,7 @@ class ReplayTracer:
 
     def light_origin(self):
         p0, p1 = self._light_geom
-        if self._light_is_sphere:
-            return p0
-        return p0 + p1 * 0.5
+        return light_origin_from(p0, p1, self._light_is_sphere)
 
 
 def tile_physics(scene: SceneView, cam, u, v, draws, config: RenderConfig,
@@ -576,7 +574,6 @@ def _fwd_kernel(
     emissive,
     config,
     width,
-    height,
     norm_height,
     tile_h,
     tile_w,
@@ -623,7 +620,6 @@ def _bwd_kernel(
     emissive,
     config,
     width,
-    height,
     norm_height,
     tile_h,
     tile_w,
@@ -729,7 +725,6 @@ def _bwd_kernel_replay(
     emissive,
     config,
     width,
-    height,
     norm_height,
     tile_h,
     tile_w,
@@ -829,7 +824,6 @@ def _bwd_kernel_fetch(
     emissive,
     config,
     width,
-    height,
     norm_height,
     tile_h,
     tile_w,
@@ -938,7 +932,7 @@ def _run_fwd(scene_packed, cam_pack, scalars_i32, *, meta, interpret=False,
     kernel = functools.partial(
         _fwd_kernel,
         obj_type=obj_type, light_index=light_index, emissive=emissive,
-        config=config, width=width, height=height, norm_height=norm_height,
+        config=config, width=width, norm_height=norm_height,
         tile_h=tile_h, tile_w=tile_w, record=record,
     )
     block = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -987,8 +981,7 @@ def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta,
         kernel = functools.partial(
             _bwd_kernel_fetch,
             obj_type=obj_type, light_index=light_index, emissive=emissive,
-            config=config, width=width, height=height,
-            norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
+            config=config, width=width, norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
             n_rec=len(records),
         )
         g_scene, g_cam = pl.pallas_call(
@@ -1016,16 +1009,14 @@ def _run_bwd(scene_packed, cam_pack, scalars_i32, cotangents, *, meta,
         kernel = functools.partial(
             _bwd_kernel_replay,
             obj_type=obj_type, light_index=light_index, emissive=emissive,
-            config=config, width=width, height=height,
-            norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
+            config=config, width=width, norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
         )
         scene_spec = _scene_spec(n)
     else:
         kernel = functools.partial(
             _bwd_kernel,
             obj_type=obj_type, light_index=light_index, emissive=emissive,
-            config=config, width=width, height=height,
-            norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
+            config=config, width=width, norm_height=norm_height, tile_h=tile_h, tile_w=tile_w,
         )
         scene_spec = whole((n, SCENE_COLS))  # VMEM value for jax.vjp
 
@@ -1142,8 +1133,13 @@ def render_tiles_pallas(
         norm_height = height
     if aspect is None:
         aspect = width / norm_height
+    # shadow_samples=0 is NEE-off: the XLA integrator's empty-axis sums
+    # yield sampled_light=0 there, and the kernel must agree — running the
+    # no-light path also avoids zero-sized shadow draws/record planes,
+    # which Mosaic cannot lower.
+    light_index = scene.light_index if config.shadow_samples > 0 else -1
     meta = (
-        scene.obj_type, scene.light_index, config, width, height, norm_height,
+        scene.obj_type, light_index, config, width, height, norm_height,
         tile_h, tile_w, getattr(scene, "emissive", None),
     )
     cam_pack = _camera_pack(camera, aspect, config)

@@ -36,6 +36,18 @@ OBJ_NONE = 0
 OBJ_SPHERE = 1
 OBJ_CUBE = 2
 
+
+def light_origin_from(p0: Vec3, p1: Vec3, is_sphere: bool) -> Vec3:
+    """Object 'origin' for NEE light sampling — sphere center, or cube
+    origin + size/2 (src/scene.c:10-15). The ONE formula every tracer's
+    light_origin flows through: the recording forward and the
+    differentiable replay must agree bit-exactly for NEE gradient
+    routing, so keep Scene.origin_of, SceneView.origin_of and the
+    replay/fetch tracers (kernels/megakernel.py) on this helper."""
+    if is_sphere:
+        return p0
+    return p0 + p1 * 0.5
+
 # Material defaults from the reference parser (src/scene.c:232-254).
 DEFAULT_ALBEDO = (0.44, 0.68, 0.84)
 DEFAULT_ROUGHNESS = 0.0
@@ -139,14 +151,11 @@ class Scene:
         )
 
     def origin_of(self, i: int) -> Vec3:
-        """Object 'origin' for light sampling: sphere center, or cube
-        origin + size/2 (src/scene.c:10-15)."""
-        if self.is_sphere(i):
-            return self.center(i)
-        return Vec3(
-            self.p0[i, 0] + 0.5 * self.p1[i, 0],
-            self.p0[i, 1] + 0.5 * self.p1[i, 1],
-            self.p0[i, 2] + 0.5 * self.p1[i, 2],
+        """Object 'origin' for light sampling (light_origin_from)."""
+        return light_origin_from(
+            self.center(i),
+            Vec3(self.p1[i, 0], self.p1[i, 1], self.p1[i, 2]),
+            self.is_sphere(i),
         )
 
     def packed_rows(self) -> jax.Array:

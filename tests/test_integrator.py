@@ -50,6 +50,29 @@ def test_emissive_object_glows():
     assert img[..., 0].mean() > 0.1  # sphere covers a good chunk of the frame
 
 
+def test_zero_shadow_samples_is_nee_off():
+    """shadow_samples=0 on a lit scene must equal the same render with
+    the light metadata dropped (NEE off), bit-for-bit: the empty-axis
+    shadow sums contribute exactly zero and the per-bounce key splits are
+    independent of the shadow branch. Pins the contract the Pallas entry
+    relies on when it normalizes light_index to -1 for ns=0 (zero-sized
+    shadow draws/record planes are not Mosaic-lowerable)."""
+    import dataclasses
+
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), roughness=1.0),
+        ObjectSpec(kind="cube", p0=(0.0, 0.0, 0.0), p1=(6.0, 0.1, 6.0)),
+        ObjectSpec(kind="sphere", p0=(1.0, 4.0, 1.0), emission_power=3.0),
+    ])
+    assert scene.has_light
+    cfg = RenderConfig(bounces=3, shadow_samples=0)
+    sky = constant_sky((0.2, 0.3, 0.4))
+    lit = np.asarray(small_render(scene, cubemap=sky, config=cfg))
+    dark_meta = dataclasses.replace(scene, light_index=-1, emissive=None)
+    off = np.asarray(small_render(dark_meta, cubemap=sky, config=cfg))
+    np.testing.assert_array_equal(lit, off)
+
+
 def test_determinism_and_key_sensitivity():
     scene = Scene.from_objects([
         ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), roughness=1.0),

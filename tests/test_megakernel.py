@@ -255,6 +255,35 @@ def test_megakernel_interpret_matches_xla():
     assert abs(img.mean() - ref.mean()) < 0.03
 
 
+@pytest.mark.skipif(not SLOW, reason="TPU-interpreter compile is minutes-slow; set RTT_SLOW=1")
+def test_megakernel_interpret_zero_shadow_samples_lit_scene():
+    """shadow_samples=0 on a LIT scene: render_tiles_pallas normalizes
+    light_index to -1 (NEE off — the XLA integrator's exact semantics,
+    test_integrator.py::test_zero_shadow_samples_is_nee_off), which also
+    avoids zero-sized shadow draws/record planes Mosaic cannot lower."""
+    if on_tpu():
+        pytest.skip("interpreter path is CPU-only coverage")
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+    from ray_tracing_tpu.render.integrator import render_image
+
+    cfg = RenderConfig(bounces=2, shadow_samples=0)
+    sky = constant_sky((0.3, 0.4, 0.5))
+    cam = Camera.default()
+    s = scene()  # has an emissive sphere: light_index >= 0
+    img = np.asarray(
+        render_image_pallas(s, cam, 128, 32, 0, spp=2, config=cfg, cubemap=sky,
+                            interpret=pltpu.InterpretParams())
+    )
+    ref = np.asarray(
+        render_image(s, cam, 128, 32, jax.random.key(0), spp=2, config=cfg,
+                     cubemap=sky)
+    )
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) < 0.03
+
+
 @pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
 def test_sharded_pallas_on_tpu_matches_unsharded():
     """render_image_sharded(kernel='pallas') on a 1-device TPU mesh is the
