@@ -81,8 +81,12 @@ def render_rays(
 
         k_shadow, k_dir, k_branch = jax.random.split(bounce_key, 3)
 
-        # --- next-event light sampling (src/main.c:180-210)
-        if scene.has_light:
+        # --- next-event light sampling (src/main.c:180-210).
+        # ns=0 is NEE-off: gate it like the megakernel entry does
+        # (render_tiles_pallas normalizes light_index to -1) instead of
+        # building zero-sized shadow traces; the empty-axis sums would be
+        # value-identical, this keeps both integrators' logic the same.
+        if scene.has_light and config.shadow_samples > 0:
             ns = config.shadow_samples
             rand_dirs = random_direction(
                 k_shadow, (ns, *shape), config.cube_biased_sampling
@@ -182,6 +186,8 @@ def _soft_slab_coverage(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3, temp):
     (far - near, negative on miss) normalized by the box's mean extent.
     Axis-parallel rays take the non-degenerate select branch so gradients
     stay NaN-free (same guard rationale as intersect_cube's slab_t)."""
+    from ray_tracing_tpu.ops.intersect import BIG
+
     def axis(lo_c, hi_c, ro_c, d_c):
         zero = d_c == 0.0
         safe = jnp.where(zero, 1.0, d_c)
@@ -190,8 +196,6 @@ def _soft_slab_coverage(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3, temp):
         tmin = jnp.minimum(ta, tb)
         tmax = jnp.maximum(ta, tb)
         inside = (ro_c > lo_c) & (ro_c < hi_c)
-        from ray_tracing_tpu.ops.intersect import BIG
-
         tmin = jnp.where(zero, jnp.where(inside, -BIG, BIG), tmin)
         tmax = jnp.where(zero, jnp.where(inside, BIG, -BIG), tmax)
         return tmin, tmax
@@ -204,7 +208,18 @@ def _soft_slab_coverage(ro: Vec3, d: Vec3, lo: Vec3, hi: Vec3, temp):
     # behind-the-camera part doesn't count as coverage
     margin = far - jnp.maximum(near, 0.0)
     size = jnp.maximum((hi.x - lo.x + hi.y - lo.y + hi.z - lo.z) / 3.0, 1e-6)
-    return jax.nn.sigmoid(margin / (temp * size))
+    # Deep-miss lanes carry +-BIG sentinels: far - near overflows f32 to
+    # -inf, and the vjp of margin/(temp*size) makes 0 * inf = NaN
+    # gradients (dL/dsize = cot * -margin/q^2 with margin = +-inf) that
+    # the scan carry spreads to EVERY object row — the exact failure
+    # intersect_cube's slab_t guards against. Clamp the MARGIN before
+    # the division (clamping the quotient would leave the division's own
+    # infinite size-partial in the graph): sigmoid(+-60) is 0/1 to f32
+    # precision and the clip's vjp zeroes those lanes' margin gradients —
+    # the correct silhouette gradient for a deep miss/containment anyway.
+    q = temp * size
+    margin = jnp.clip(margin, -60.0 * q, 60.0 * q)
+    return jax.nn.sigmoid(margin / q)
 
 
 def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
@@ -221,10 +236,9 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
     object-over-object edges — see config.soft_silhouette_temp. Shared by
     the XLA integrator and the Pallas render wrapper."""
     from ray_tracing_tpu.ops.intersect import (
-        BIG, HIT_THRESHOLD, intersect_cube, intersect_sphere, ray_inverses,
+        BIG, HIT_THRESHOLD, UNROLL_LIMIT, intersect_cube, intersect_sphere,
+        ray_inverses,
     )
-
-    from ray_tracing_tpu.ops.intersect import UNROLL_LIMIT
     from ray_tracing_tpu.scene.types import OBJ_SPHERE
 
     d0 = rd0.normalize()
@@ -241,6 +255,15 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
     t2 = jnp.full(shape, BIG)
     alb2 = Vec3.zeros(shape)
     emis2 = Vec3.zeros(shape)
+    # best OUTSIDE coverage for miss pixels (two-sided silhouette: a
+    # pixel just outside the hard edge blends the near object's proxy in
+    # with its sub-0.5 coverage, so the composited value is continuous
+    # across the silhouette and d(pixel)/d(geometry) flows from BOTH
+    # sides of the boundary — one-sided alpha left every near-miss pixel
+    # with a step discontinuity and zero gradient)
+    a_out = jnp.zeros(shape)
+    alb_o = Vec3.zeros(shape)
+    emis_o = Vec3.zeros(shape)
 
     if scene.num_objects > UNROLL_LIMIT or force_scan:
         # Large scenes: lax.scan over packed rows (O(1) compile in scene
@@ -251,7 +274,7 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
         idx = jnp.arange(scene.num_objects, dtype=jnp.int32)
 
         def update(carry, row_i):
-            alpha, t2, alb2, emis2 = carry
+            alpha, t2, alb2, emis2, a_out, alb_o, emis_o = carry
             row, i = row_i
             is_sph = row[15] == float(OBJ_SPHERE)
             winner = (h0.obj == i) & h0.hit
@@ -273,6 +296,17 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
             alpha = jnp.where(gate, a_i, alpha)
             t_i = jnp.where(is_sph, t_sph, t_cub)
 
+            cover = jnp.where(is_sph & ~(along > 0), 0.0, a_i)
+            better = (~h0.hit) & (cover > a_out)
+            a_out = jnp.where(better, cover, a_out)
+            alb_o = Vec3.where(
+                better, Vec3(row[6], row[7], row[8]).broadcast_to(shape), alb_o
+            )
+            emis_o = Vec3.where(
+                better, Vec3(row[12], row[13], row[14]).broadcast_to(shape),
+                emis_o,
+            )
+
             tt = jnp.where(winner, BIG, t_i)
             w2 = tt < t2
             t2 = jnp.where(w2, tt, t2)
@@ -282,10 +316,10 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
             emis2 = Vec3.where(
                 w2, Vec3(row[12], row[13], row[14]).broadcast_to(shape), emis2
             )
-            return (alpha, t2, alb2, emis2), None
+            return (alpha, t2, alb2, emis2, a_out, alb_o, emis_o), None
 
-        (alpha, t2, alb2, emis2), _ = jax.lax.scan(
-            update, (alpha, t2, alb2, emis2), (rows, idx)
+        (alpha, t2, alb2, emis2, a_out, alb_o, emis_o), _ = jax.lax.scan(
+            update, (alpha, t2, alb2, emis2, a_out, alb_o, emis_o), (rows, idx)
         )
     else:
         for i in range(scene.num_objects):
@@ -300,6 +334,7 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
                     (r - d_perp) / (temp * jnp.maximum(r, 1e-6))
                 )
                 alpha = jnp.where(winner & (along > 0), a_i, alpha)
+                cover = jnp.where(along > 0, a_i, 0.0)
                 t_i = intersect_sphere(
                     ro0, d0, a, scene.center(i), r, inv2a=inv2a
                 )
@@ -308,9 +343,19 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
                     ro0, d0, scene.box_lo(i), scene.box_hi(i), temp
                 )
                 alpha = jnp.where(winner, a_i, alpha)
+                cover = a_i
                 t_i, _ = intersect_cube(
                     ro0, d0, scene.box_lo(i), scene.box_hi(i), inv=inv
                 )
+
+            better = (~h0.hit) & (cover > a_out)
+            a_out = jnp.where(better, cover, a_out)
+            alb_o = Vec3.where(
+                better, scene.albedo_of(i).broadcast_to(shape), alb_o
+            )
+            emis_o = Vec3.where(
+                better, scene.emission_of(i).broadcast_to(shape), emis_o
+            )
 
             tt = jnp.where(winner, BIG, t_i)
             w2 = tt < t2
@@ -325,6 +370,13 @@ def soft_silhouette_composite(scene, ro0: Vec3, rd0: Vec3, result: Vec3,
     # cheap local proxy for the runner-up's radiance — gradient DIRECTION
     # is what matters at a training-only smoothing boundary
     bg = Vec3.where(has2, (emis2 + alb2 * sky0).clip(0.0, 1.0), sky0)
+    # two-sided edge: a miss pixel keeps its traced radiance (the sky,
+    # == result there) with weight 1 - a_out and blends the best-coverage
+    # object's proxy in with a_out, mirroring the inside pixels' a_w
+    # blend — continuous across the silhouette, gradients from both sides
+    miss = ~h0.hit
+    alpha = jnp.where(miss, 1.0 - a_out, alpha)
+    bg = Vec3.where(miss, (emis_o + alb_o * sky0).clip(0.0, 1.0), bg)
     return result * alpha + bg * (1.0 - alpha)
 
 

@@ -71,6 +71,74 @@ def test_soft_silhouette_scan_matches_unrolled():
     )
 
 
+def test_soft_silhouette_axis_parallel_rays_grads_finite():
+    """Axis-parallel primary rays outside a cube slab carry +-BIG slab
+    sentinels whose margin overflows f32 to -inf; the coverage logit is
+    saturated so gradients stay FINITE on both the unrolled and scan
+    paths (unclipped, the scan carry spread NaN to every object row)."""
+    from ray_tracing_tpu.ops.cubemap import constant_sky
+    from ray_tracing_tpu.ops.vec import Vec3
+    from ray_tracing_tpu.render.integrator import soft_silhouette_composite
+
+    scene = Scene.from_objects([
+        ObjectSpec(kind="cube", p0=(2.0, 2.0, 2.0), p1=(1.0, 1.0, 1.0)),
+        ObjectSpec(kind="sphere", p0=(-3.0, 0.0, 0.0), p1=(1.0,) * 3),
+    ])
+    cfg = RenderConfig(soft_silhouette_temp=0.1)
+    sky = constant_sky((0.3, 0.3, 0.3))
+    shape = (1, 4)
+    # exactly axis-parallel rays, origin OUTSIDE the cube's y/z slabs
+    ro = Vec3(jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape))
+    rd = Vec3(jnp.ones(shape), jnp.zeros(shape), jnp.zeros(shape))
+    base = Vec3.full(shape, 0.2)
+
+    for force_scan in (False, True):
+        def loss(s):
+            out = soft_silhouette_composite(
+                s, ro, rd, base, cfg, sky, force_scan=force_scan)
+            return jnp.sum(out.x + out.y + out.z)
+
+        g = jax.grad(loss)(scene)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all(), force_scan
+
+
+def test_soft_silhouette_outside_pixels_carry_gradient():
+    """Two-sided silhouette: a pixel just OUTSIDE the hard edge must see
+    a continuous value and a nonzero d(pixel)/d(center) so the boundary
+    gradient flows from both sides (one-sided alpha left a step and zero
+    gradient there)."""
+    from ray_tracing_tpu.ops.cubemap import constant_sky
+    from ray_tracing_tpu.ops.vec import Vec3
+    from ray_tracing_tpu.render.integrator import soft_silhouette_composite
+
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(0.0, 0.0, 5.0), p1=(1.0,) * 3,
+                   albedo=(0.9, 0.1, 0.1)),
+    ])
+    cfg = RenderConfig(soft_silhouette_temp=0.1)
+    sky = constant_sky((0.2, 0.2, 0.2))
+    shape = (1, 1)
+    ro = Vec3.zeros(shape)
+    # ray pointing just past the sphere's rim: hard trace MISSES
+    rd = Vec3(jnp.full(shape, 0.215), jnp.zeros(shape), jnp.full(shape, 1.0))
+    base = Vec3.full(shape, 0.2)  # == sky radiance the miss ray traced
+
+    from ray_tracing_tpu.ops.intersect import trace
+    assert not bool(trace(scene, ro, rd).hit[0, 0])
+
+    def red(s):
+        return soft_silhouette_composite(s, ro, rd, base, cfg, sky).x[0, 0]
+
+    g = jax.grad(red)(scene)
+    gx = float(np.asarray(g.p0)[0, 0])
+    assert np.isfinite(gx) and abs(gx) > 1e-4
+    # and the value itself is pulled toward the sphere's proxy (0.9 red
+    # albedo x 0.2 sky = 0.18, darker than the 0.2 sky), not left at sky
+    val = float(red(scene))
+    assert abs(val - 0.2) > 1e-3
+
+
 def test_soft_silhouette_large_scene_trains():
     """A 60-object scene (> UNROLL_LIMIT) with soft_silhouette_temp > 0
     must compile through the scan path and give finite, nonzero geometry
