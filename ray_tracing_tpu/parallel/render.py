@@ -14,7 +14,7 @@ when displaying. Scene/camera/cubemap are replicated (tiny).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ from ray_tracing_tpu.config import RenderConfig, DEFAULT_CONFIG
 from ray_tracing_tpu.ops.cubemap import CubemapData
 from ray_tracing_tpu.ops.vec import Vec3
 from ray_tracing_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
-from ray_tracing_tpu.render.camera import Camera, ray_through_screen
+from ray_tracing_tpu.render.camera import Camera, pixel_grid, ray_through_screen
 from ray_tracing_tpu.render.integrator import render_rays
 from ray_tracing_tpu.scene.types import Scene
 
@@ -83,17 +83,26 @@ def _local_tile_render(
         total = Vec3(img[..., 0], img[..., 1], img[..., 2]) * float(local_spp)
     else:
         # This tile's pixel grid: global-row v, full-width u (src/main.c:293-296).
-        x = jnp.arange(width, dtype=jnp.float32)
-        y_local = jnp.arange(local_h, dtype=jnp.float32) + tile * local_h
-        u = 1.0 - x / (width - 1)
-        v = 1.0 - y_local / (height - 1)
-        uu, vv = jnp.meshgrid(u, v)
+        uu, vv = pixel_grid(width, local_h, row0=tile * local_h,
+                            norm_height=height)
         aspect = width / height
 
-        ro, rd = ray_through_screen(camera, uu, vv, aspect, config)
+        if config.pixel_jitter:
+            # box-filter AA, same semantics as the unsharded
+            # render_image and the kernel's in-tile jitter: amplitude is
+            # one GLOBAL pixel (height, not the slice height)
+            def one(k) -> Vec3:
+                kj, kr = jax.random.split(k)
+                j = jax.random.uniform(kj, (2, local_h, width)) - 0.5
+                u = uu + j[0] / max(width - 1, 1)
+                v = vv + j[1] / max(height - 1, 1)
+                ro, rd = ray_through_screen(camera, u, v, aspect, config)
+                return render_rays(scene, ro, rd, kr, config, cubemap)
+        else:
+            ro, rd = ray_through_screen(camera, uu, vv, aspect, config)
 
-        def one(k) -> Vec3:
-            return render_rays(scene, ro, rd, k, config, cubemap)
+            def one(k) -> Vec3:
+                return render_rays(scene, ro, rd, k, config, cubemap)
 
         keys = jax.random.split(key, local_spp)
         total, _ = jax.lax.scan(
@@ -107,9 +116,16 @@ def _local_tile_render(
     return (total * (1.0 / spp)).to_array()  # (local_h, W, 3)
 
 
+KERNELS = ("auto", "pallas", "pallas_interpret", "xla")
+
+
 def resolve_kernel(kernel: str, mesh) -> str:
     """"auto" -> "pallas" on TPU meshes, "xla" elsewhere (Mosaic kernels
-    only compile for TPU; CPU meshes are the test/dryrun environment)."""
+    only compile for TPU; CPU meshes are the test/dryrun environment).
+    Unknown names raise — a silent fall-through to the XLA slow path
+    would report slow-path numbers under a typo'd kernel flag."""
+    if kernel not in KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; expected one of {KERNELS}")
     if kernel == "auto":
         platform = next(iter(mesh.devices.flat)).platform
         return "pallas" if platform == "tpu" else "xla"
@@ -141,24 +157,36 @@ def render_image_sharded(
     """
     n_tiles = mesh.shape[TILE_AXIS]
     n_samples = mesh.shape[SAMPLE_AXIS]
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")
     if height % n_tiles:
         raise ValueError(f"height {height} not divisible by tile axis {n_tiles}")
     if spp % n_samples:
         raise ValueError(f"spp {spp} not divisible by sample axis {n_samples}")
 
-    fn = jax.shard_map(
-        partial(
-            _local_tile_render,
-            width=width,
-            height=height,
-            spp=spp,
-            config=config,
-            cubemap=cubemap,
-            kernel=resolve_kernel(kernel, mesh),
-        ),
+    fn = _sharded_render_fn(
+        mesh, width, height, spp, config, resolve_kernel(kernel, mesh)
+    )
+    return fn(scene, camera, key, cubemap)
+
+
+@lru_cache(maxsize=32)
+def _sharded_render_fn(mesh, width, height, spp, config, kernel):
+    """Cached jitted shard_map wrapper, keyed on the static render shape.
+    Without the cache every eager render_image_sharded call built a fresh
+    callable, so JAX's trace/compile caches (keyed on callable identity)
+    never hit and a frame-loop caller paid a full retrace per frame; the
+    cubemap rides as a traced argument for the same reason."""
+
+    def local(scene, camera, key, cubemap):
+        return _local_tile_render(
+            scene, camera, key, width, height, spp, config, cubemap, kernel
+        )
+
+    return jax.jit(jax.shard_map(
+        local,
         mesh=mesh,
-        in_specs=(P(), P(), P()),            # scene, camera, key replicated
+        in_specs=(P(), P(), P(), P()),       # all replicated
         out_specs=P(TILE_AXIS, None, None),  # rows sharded over tiles
         check_vma=False,
-    )
-    return fn(scene, camera, key)
+    ))

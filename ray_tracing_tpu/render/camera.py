@@ -106,15 +106,23 @@ def ray_through_screen(camera: Camera, u, v, aspect_ratio,
     return ro, rd
 
 
-def pixel_grid(width: int, height: int):
+def pixel_grid(width: int, height: int, row0=0, norm_height: int | None = None):
     """Normalized (u, v) for every pixel with the reference's flips:
     u = 1 - x/(W-1), v = 1 - y/(H-1) (src/main.c:293-296). Row j of the
     (H, W) grids is the reference's row j, which its PNG writer flips
-    vertically on save (src/main.c:672) — io.save_png applies the same."""
+    vertically on save (src/main.c:672) — io.save_png applies the same.
+
+    row0/norm_height select a `height`-row slice starting at global row
+    `row0` of a norm_height-tall frame (the sharded path's per-device
+    tile; row0 may be traced). Divisors are guarded for 1-pixel
+    dimensions like the megakernel's _tile_uv — the ONE copy of this
+    formula; don't re-derive it at call sites."""
+    if norm_height is None:
+        norm_height = height
     x = jnp.arange(width, dtype=jnp.float32)
-    y = jnp.arange(height, dtype=jnp.float32)
-    u = 1.0 - x / (width - 1)
-    v = 1.0 - y / (height - 1)
+    y = jnp.arange(height, dtype=jnp.float32) + row0
+    u = 1.0 - x / max(width - 1, 1)
+    v = 1.0 - y / max(norm_height - 1, 1)
     uu, vv = jnp.meshgrid(u, v)  # (H, W)
     return uu, vv
 

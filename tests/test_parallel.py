@@ -47,6 +47,45 @@ def test_sharded_render_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sharded_xla_pixel_jitter_is_applied():
+    """The sharded XLA branch must honor config.pixel_jitter like the
+    unsharded integrator and the kernel (it silently dropped it):
+    jittered output differs per-pixel from point-sampled output but
+    keeps the same image statistics."""
+    mesh = make_mesh(4, 2)
+    base = np.asarray(
+        render_image_sharded(scene(), Camera.default(), 64, 48, KEY, mesh,
+                             spp=4, config=CFG, cubemap=SKY))
+    jit_cfg = CFG.replace(pixel_jitter=True)
+    aa = np.asarray(
+        render_image_sharded(scene(), Camera.default(), 64, 48, KEY, mesh,
+                             spp=4, config=jit_cfg, cubemap=SKY))
+    assert np.abs(aa - base).max() > 1e-4   # jitter actually moved samples
+    assert abs(aa.mean() - base.mean()) < 0.02
+
+
+def test_resolve_kernel_rejects_unknown_names():
+    import pytest as _pytest
+
+    from ray_tracing_tpu.parallel.render import resolve_kernel
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    with _pytest.raises(ValueError, match="unknown kernel"):
+        resolve_kernel("palas", mesh)
+    assert resolve_kernel("xla", mesh) == "xla"
+
+
+def test_sharded_degenerate_single_column_is_finite():
+    """width=1 exercises the guarded (W-1) divisor (camera.pixel_grid):
+    unguarded it produced inf/NaN rays on the sharded XLA branch."""
+    mesh = make_mesh(4, 2)
+    img = np.asarray(
+        render_image_sharded(scene(), Camera.default(), 1, 4, KEY, mesh,
+                             spp=2, config=CFG, cubemap=SKY))
+    assert img.shape == (4, 1, 3)
+    assert np.isfinite(img).all()
+
+
 def test_sharded_matches_single_device_statistically():
     mesh = make_mesh(4, 2)
     sharded = np.asarray(
