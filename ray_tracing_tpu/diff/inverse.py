@@ -34,8 +34,35 @@ SCENE_PARAM_FIELDS = (
 
 
 def extract_params(scene: Scene, fields) -> dict:
-    """Pull the optimizable leaves out of a scene."""
+    """Pull the optimizable leaves out of a scene. Rejects anything
+    outside SCENE_PARAM_FIELDS up front — static metadata (emissive,
+    obj_type) or a typo'd name would otherwise surface as an obscure
+    optax/autodiff leaf-type error deep in the first step."""
+    unknown = [f for f in fields if f not in SCENE_PARAM_FIELDS]
+    if unknown:
+        raise ValueError(
+            f"not optimizable scene fields: {unknown}; "
+            f"expected among {SCENE_PARAM_FIELDS}"
+        )
     return {f: getattr(scene, f) for f in fields}
+
+
+def area_downsample(img, height: int, width: int):
+    """Integer-factor area mean-pool of (H, W, C) to (height, width, C):
+    crop to a factor multiple, reshape, mean. The ONE copy of the pooling
+    formula (fit_multiscale stages, coarse_pose_search target + AA pool).
+    Raises when the source is smaller than the target — a zero factor
+    would crop to nothing and the empty-axis mean returns all-NaN, which
+    np.argsort then ranks arbitrarily (silent garbage candidates)."""
+    H, W = img.shape[0], img.shape[1]
+    fy, fx = H // height, W // width
+    if fy < 1 or fx < 1:
+        raise ValueError(
+            f"cannot area-downsample {(H, W)} to {(height, width)}: "
+            "target grid is larger than the source image"
+        )
+    t = img[: height * fy, : width * fx]
+    return t.reshape(height, fy, width, fx, *img.shape[2:]).mean(axis=(1, 3))
 
 
 def apply_params(scene: Scene, params: dict) -> Scene:
@@ -65,12 +92,36 @@ def make_train_step(
     elsewhere; per-device kernel gradients are psum-combined over the mesh
     exactly like the XLA path's.
     """
+    n_tiles = mesh.shape[TILE_AXIS]
+    n_samples = mesh.shape[SAMPLE_AXIS]
+    if spp < 1 or spp % n_samples:
+        # _local_tile_render computes local_spp = spp // n_samples and
+        # normalizes by 1/spp: non-divisible spp silently scales the
+        # render (and spp < n_samples renders NOTHING and trains on
+        # zero gradients) — same guard as render_image_sharded
+        raise ValueError(
+            f"spp {spp} must be a positive multiple of the sample axis "
+            f"size {n_samples}"
+        )
+    if height % n_tiles:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tiles}")
+
     denom = float(width * height * 3)
     kernel = resolve_kernel(kernel, mesh)
 
     def local_value_and_grad(params, target_local, key):
         def loss_fn(p):
-            scene = apply_params(base_scene, p["scene"])
+            base = base_scene
+            if {"emission_power", "emission_color"} & set(p["scene"]):
+                # Training emission: drop the static emissive metadata so
+                # the shadow trace keeps the exact full scan (the
+                # occlusion fast path routes NEE emission grads to the
+                # build-time light only). Lives HERE, not just in fit():
+                # make_train_step is the public SPMD API
+                # (benchmarks/scaling.py, __graft_entry__) and the
+                # params keys are static at trace time.
+                base = dataclasses.replace(base, emissive=None)
+            scene = apply_params(base, p["scene"])
             cam = dataclasses.replace(camera, **p["camera"])
             img = _local_tile_render(
                 scene, cam, key, width, height, spp, config, cubemap, kernel
@@ -206,16 +257,28 @@ def fit(
     )
 
     target = jnp.asarray(target, jnp.float32)
+    # Device losses are materialized lazily: float(loss) every step would
+    # block the host on each step's completion and serialize dispatch —
+    # the loop stays ahead of the device unless a callback or checkpoint
+    # actually needs the value.
+    pending: list = []
+
+    def drain():
+        losses.extend(float(x) for x in pending)
+        pending.clear()
+
     for i in range(start, steps):
         params, opt_state, loss = step(
             params, opt_state, target, jax.random.fold_in(key, i)
         )
-        losses.append(float(loss))
+        pending.append(loss)
         if callback is not None:
+            drain()
             callback(i, losses[-1], params)
         if checkpoint_dir is not None and (
             (i + 1) % checkpoint_every == 0 or i + 1 == steps
         ):
+            drain()
             from ray_tracing_tpu.diff import checkpoint as ckpt
 
             ckpt.save_checkpoint(
@@ -239,6 +302,7 @@ def fit(
                 i + 1,
             )
 
+    drain()
     scene = apply_params(base_scene, params["scene"])
     cam = dataclasses.replace(camera, **params["camera"])
     return scene, cam, losses
@@ -342,12 +406,11 @@ def coarse_pose_search(
     poss = jnp.asarray(np.stack(poss))
     fronts = jnp.asarray(np.stack(fronts))
 
-    # area-downsample the target to the thumbnail grid
-    t = np.asarray(target, np.float32)
-    H, W = t.shape[0], t.shape[1]
-    ty, tx = (H // height) * height, (W // width) * width
+    # area-downsample the target to the thumbnail grid (raises when the
+    # target is smaller than the thumbnail — an empty-axis mean would
+    # score every candidate NaN and return arbitrary "best" poses)
     t_small = jnp.asarray(
-        t[:ty, :tx].reshape(height, ty // height, width, tx // width, 3).mean((1, 3))
+        area_downsample(np.asarray(target, np.float32), height, width)
     )
 
     @jax.jit
@@ -358,7 +421,7 @@ def coarse_pose_search(
                 base_scene, cam, width * aa, height * aa, key, spp=spp,
                 config=config, cubemap=cubemap,
             )
-            img = img.reshape(height, aa, width, aa, 3).mean((1, 3))
+            img = area_downsample(img, height, width)
             return jnp.mean((img - t_small) ** 2)
 
         return jax.vmap(one)(poss, fronts)
@@ -392,8 +455,6 @@ def fit_multiscale(
 
     Returns (scene, camera, losses-concatenated).
     """
-    import numpy as np
-
     if key is None:
         key = jax.random.key(0)
     target = jnp.asarray(target, jnp.float32)
@@ -408,9 +469,7 @@ def fit_multiscale(
         if h <= 0 or w <= 0:
             continue
         # area downsample by integer factors
-        ty = (H // h) * h
-        tx = (W // w) * w
-        t_small = target[:ty, :tx].reshape(h, ty // h, w, tx // w, 3).mean(axis=(1, 3))
+        t_small = area_downsample(target, h, w)
         scene, cam, losses = fit(
             scene, cam, t_small, mesh,
             scene_fields=scene_fields, camera_fields=camera_fields,

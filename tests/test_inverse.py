@@ -29,6 +29,36 @@ def need_devices():
         pytest.skip("needs virtual device mesh")
 
 
+def test_training_entry_guards():
+    """The silent-failure edges found in review: non-divisible spp used
+    to render a scaled (or empty — zero gradients, training no-ops)
+    image; metadata fields flowed into optax as bool tuples; a
+    too-small pose-search target scored every candidate NaN."""
+    import optax
+
+    from ray_tracing_tpu.diff.inverse import (
+        area_downsample, extract_params, make_train_step,
+    )
+
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(0.0, 0.0, 5.0), p1=(1.0,) * 3),
+    ])
+    mesh = make_mesh(4, 2)
+    with pytest.raises(ValueError, match="multiple of the sample axis"):
+        make_train_step(scene, Camera.default(), mesh, optax.adam(1e-2),
+                        32, 24, spp=1)  # < sample axis: local_spp == 0
+    with pytest.raises(ValueError, match="not divisible by tile axis"):
+        make_train_step(scene, Camera.default(), mesh, optax.adam(1e-2),
+                        32, 25, spp=2)
+    with pytest.raises(ValueError, match="not optimizable"):
+        extract_params(scene, ("emissive",))
+    with pytest.raises(ValueError, match="area-downsample"):
+        area_downsample(np.zeros((16, 40, 3), np.float32), 24, 32)
+    # the helper itself pools correctly on exact factors
+    out = area_downsample(np.arange(48.0).reshape(4, 4, 3), 2, 2)
+    assert out.shape == (2, 2, 3)
+
+
 def test_soft_silhouette_scan_matches_unrolled():
     """The packed-row scan path of soft_silhouette_composite (used above
     UNROLL_LIMIT) must reproduce the unrolled path exactly — same selects,
