@@ -48,6 +48,14 @@ class CubemapData:
         import numpy as np
 
         f = np.asarray(faces)
+        if f.ndim != 4 or f.shape[0] != 6 or f.shape[3] != 3:
+            # a single (H, W, 3) face would silently become h=W, w=3
+            raise ValueError(f"expected (6, H, W, 3) faces, got {f.shape}")
+        if f.dtype != np.uint8 and np.issubdtype(f.dtype, np.integer):
+            raise ValueError(
+                f"integer faces must be uint8 (got {f.dtype}); convert or "
+                "pass float radiance"
+            )
         h, w = f.shape[1], f.shape[2]
         flat = f.reshape(-1, 3)
         if f.dtype == np.uint8:
@@ -85,15 +93,29 @@ def face_uv(d: Vec3):
     sy = jnp.where(ay > 0, ay, 1.0)
     sz = jnp.where(az > 0, az, 1.0)
 
+    # The X/Y branches require strict dominance, so their divisors are
+    # nonzero; the Z FALLBACK can be selected with az == 0 (exact
+    # |x| == |y| ties, e.g. a 45-degree specular direction). There the
+    # reference divides by 0 -> +-inf and the caller's clamp lands on the
+    # EDGE texel; dividing by the sz=1 guard instead would land on an
+    # interior texel. Saturate those lanes past the clamp range with the
+    # numerator's sign (gradient-free — sign() has zero vjp — so no
+    # inf partials).
+    z0 = az == 0.0
+    uz_num = jnp.where(d.z > 0, d.x, -d.x)
+    vz_num = -d.y
+    u_z = jnp.where(z0, jnp.sign(uz_num) * 4.0, uz_num / sz)
+    v_z = jnp.where(z0, jnp.sign(vz_num) * 4.0, vz_num / sz)
+
     u = jnp.where(
         x_dom,
         jnp.where(d.x > 0, -d.z, d.z) / sx,
-        jnp.where(y_dom, d.x / sy, jnp.where(d.z > 0, d.x, -d.x) / sz),
+        jnp.where(y_dom, d.x / sy, u_z),
     )
     v = jnp.where(
         x_dom,
         -d.y / sx,
-        jnp.where(y_dom, jnp.where(d.y > 0, d.z, -d.z) / sy, -d.y / sz),
+        jnp.where(y_dom, jnp.where(d.y > 0, d.z, -d.z) / sy, v_z),
     )
     face = jnp.where(
         x_dom,
@@ -140,7 +162,25 @@ def _fetch(cubemap: CubemapData, face, y, x) -> Vec3:
             out = Vec3.where(face == k, texels[k].broadcast_to(face.shape), out)
         return out
 
-    return _fetch_flat(cubemap, (face * cubemap.h + y) * cubemap.w + x)
+    return _fetch_flat(cubemap, _flat_index(cubemap, face, y, x))
+
+
+def _flat_index(cubemap: CubemapData, face, y, x):
+    """(face, y, x) -> flat texel index: the ONE copy of the packed
+    layout arithmetic — _fetch gathers with it and texel_flat_index keys
+    the sparse sky cache on it; a drifted copy would silently desync
+    cache reuse from the actual fetches."""
+    return (face * cubemap.h + y) * cubemap.w + x
+
+
+def _face_texel_f(cubemap: CubemapData, d: Vec3):
+    """(face, fy, fx): clamp uv to [-1,1], remap to [0,1], scale to float
+    texel coords — shared by the nearest truncation and the bilinear
+    floor/lerp (src/gpu_and_windowing.c:96-111)."""
+    face, u, v = face_uv(d)
+    u = 0.5 * (jnp.clip(u, -1.0, 1.0) + 1.0)
+    v = 0.5 * (jnp.clip(v, -1.0, 1.0) + 1.0)
+    return face, v * (cubemap.h - 1), u * (cubemap.w - 1)
 
 
 def sample_cubemap(cubemap: CubemapData, d: Vec3, bilinear: bool = False) -> Vec3:
@@ -163,12 +203,13 @@ def sample_cubemap(cubemap: CubemapData, d: Vec3, bilinear: bool = False) -> Vec
         # helper keeps cache reuse exact by construction
         return _fetch_flat(cubemap, texel_flat_index(cubemap, d))
 
-    face, u, v = face_uv(d)
-    u = 0.5 * (jnp.clip(u, -1.0, 1.0) + 1.0)
-    v = 0.5 * (jnp.clip(v, -1.0, 1.0) + 1.0)
+    if cubemap.h == 1 and cubemap.w == 1:
+        # degenerate lerp (all four corners are the one texel): take the
+        # gather-free select instead of four redundant fetch chains
+        face, _, _ = face_uv(d)
+        return _fetch(cubemap, face, 0, 0)
 
-    fx = u * (cubemap.w - 1)
-    fy = v * (cubemap.h - 1)
+    face, fy, fx = _face_texel_f(cubemap, d)
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, cubemap.w - 1)
@@ -189,12 +230,10 @@ def texel_flat_index(cubemap: CubemapData, d: Vec3):
     """Flat texel index of the nearest-texel lookup for unit directions —
     the same (face, y, x) -> flat map _fetch gathers with. Pure VPU math
     (no gather); lets callers dedupe/compact sky lookups by index."""
-    face, u, v = face_uv(d)
-    u = 0.5 * (jnp.clip(u, -1.0, 1.0) + 1.0)
-    v = 0.5 * (jnp.clip(v, -1.0, 1.0) + 1.0)
-    x = (u * (cubemap.w - 1)).astype(jnp.int32)
-    y = (v * (cubemap.h - 1)).astype(jnp.int32)
-    return (face * cubemap.h + y) * cubemap.w + x
+    face, fy, fx = _face_texel_f(cubemap, d)
+    x = fx.astype(jnp.int32)
+    y = fy.astype(jnp.int32)
+    return _flat_index(cubemap, face, y, x)
 
 
 def unpack_texels(packed) -> Vec3:
@@ -304,9 +343,14 @@ def downsample_packed(cubemap: CubemapData, factor: int) -> CubemapData:
     h, w = cubemap.h, cubemap.w
     faces = cubemap.packed.reshape(6, h, w)
     dec = faces[:, ::factor, ::factor]
+    # metadata MUST come from the sliced shape: ::factor keeps
+    # ceil(h/factor) rows, and declaring floor (h//factor) when factor
+    # does not divide h would desynchronize texel_flat_index's
+    # (face*h+y)*w+x arithmetic from the packed layout — every in-bounds
+    # gather silently lands on the wrong row
+    h2, w2 = int(dec.shape[1]), int(dec.shape[2])
     return CubemapData(
-        packed=dec.reshape(-1), r=None, g=None, b=None,
-        h=h // factor, w=w // factor,
+        packed=dec.reshape(-1), r=None, g=None, b=None, h=h2, w=w2,
     )
 
 
@@ -317,11 +361,13 @@ def checker_sky(size: int = 64) -> CubemapData:
     import numpy as np
 
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
-    check = ((yy // 4 + xx // 4) % 2).astype(np.uint8)
+    check = ((yy // 4 + xx // 4) % 2).astype(np.int32)
     faces = np.zeros((6, size, size, 3), np.uint8)
     for f in range(6):
-        faces[f, ..., 0] = 40 * f + 55 + 120 * check
-        faces[f, ..., 1] = 255 - 30 * f - 100 * check
+        # int32 arithmetic + clip: uint8 math would wrap (40*5+55+120 =
+        # 375 -> 119) and invert the checker highlight on faces 3-5
+        faces[f, ..., 0] = np.clip(40 * f + 55 + 120 * check, 0, 255)
+        faces[f, ..., 1] = np.clip(255 - 30 * f - 100 * check, 0, 255)
         faces[f, ..., 2] = (xx * 255) // max(size - 1, 1)
     return CubemapData.from_faces(faces)
 

@@ -338,6 +338,45 @@ def test_cubemap_axis_faces():
     assert int(face) == 1  # CF_BACK
 
 
+def test_cubemap_tie_direction_lands_on_edge_texel():
+    """Exact |x| == |y|, z == 0 ties fall to the Z face with a ZERO
+    divisor: the reference's u = -x/|z| is +-inf, clamped to the EDGE
+    texel. The guarded division must saturate the same way, not return
+    an interior texel."""
+    import math
+
+    from ray_tracing_tpu.ops.cubemap import checker_sky, texel_flat_index
+
+    cm = checker_sky(16)
+    s = math.sqrt(0.5)
+    idx = int(texel_flat_index(cm, Vec3.of(s, s, 0.0))[()])
+    # CF_BACK (z <= 0 fallback), u = clamp(-inf) = -1 -> x = 0,
+    # v = clamp(-inf) = -1 -> y = 0
+    assert idx == (1 * 16 + 0) * 16 + 0
+    # gradients through the tie lane stay finite (sign() has zero vjp)
+    import jax
+
+    def f(d):
+        from ray_tracing_tpu.ops.cubemap import face_uv as fv
+        _, u, v = fv(d)
+        return jnp.sum(u + v)
+
+    g = jax.grad(lambda x: f(Vec3.of(x, x, 0.0)))(s)
+    assert np.isfinite(float(g))
+
+
+def test_downsample_packed_nondividing_factor_consistent():
+    """Metadata must describe the sliced shape: ::factor keeps
+    ceil(h/factor) rows, and declaring floor desynchronizes
+    texel_flat_index from the packed layout (silently scrambled sky)."""
+    from ray_tracing_tpu.ops.cubemap import checker_sky, downsample_packed
+
+    cm = checker_sky(13)
+    dn = downsample_packed(cm, 5)  # 13/5: ceil=3, floor=2
+    assert dn.h == dn.w == 3
+    assert dn.packed.shape == (6 * dn.h * dn.w,)
+
+
 # --------------------------------------------------------------- camera ----
 
 
