@@ -40,10 +40,56 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import subprocess
+import sys
+
+
+def _probe_tpu(attempts: int = 3, timeout_s: int = 120) -> bool:
+    """True iff the TPU backend initializes in a throwaway subprocess.
+
+    The axon tunnel can hang *indefinitely* inside backend discovery
+    (make_c_api_client) when the remote side is down — an in-process
+    jax.devices() would wedge the whole benchmark with no output. Probe
+    in a child under a timeout so this process never touches a dead
+    tunnel. The child inherits the environment (sitecustomize must stay
+    on PYTHONPATH for the axon backend to exist at all)."""
+    code = "import jax; assert jax.devices()[0].platform == 'tpu'"
+    for _ in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
+if not _probe_tpu():
+    # Emit the one contractual JSON line instead of hanging the driver.
+    # value=0 is honest: no hardware measurement happened this run. The
+    # last measured numbers live in BENCH_NOTES.md / BENCH_r02.json.
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "Mrays/s/chip fwd+bwd scene_2 1920x1080 + 2048^2 skybox"
+                    " — NOT MEASURED: TPU tunnel down (axon PJRT backend"
+                    " init hangs; see BENCH_NOTES.md round 3). Last"
+                    " hardware run: BENCH_r02.json 4391.2 Mrays/s"
+                ),
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+    sys.exit(0)
+
 import jax
 import jax.numpy as jnp
-
-import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ray_tracing_tpu.utils.timing import timed_per_sample

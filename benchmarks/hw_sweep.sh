@@ -21,8 +21,8 @@ RTT_SLOW=1 RTT_TPU=1 timeout 3500 python -m pytest tests/test_megakernel.py -q
 echo "== bench matrix (writes BENCH_NOTES.md headline table) =="
 timeout 3500 python benchmarks/run_all.py --write
 
-echo "== MFU / roofline report =="
-timeout 2400 python benchmarks/mfu.py
+echo "== MFU / roofline report (+ one jax.profiler capture) =="
+timeout 2400 python benchmarks/mfu.py --profile /tmp/xprof_r3
 
 echo "== driver headline =="
 timeout 2400 python bench.py

@@ -133,9 +133,15 @@ def main():
         t_bwd = timed(bwd_f, scene, n=spp_bwd)
 
         if args.profile:
-            with jax.profiler.trace(args.profile):
-                jax.block_until_ready(bwd_f(scene, 2))
-            print(f"profiler trace -> {args.profile}", file=sys.stderr)
+            # device-side tracing may be unsupported through the axon
+            # tunnel — a failed capture must not kill the MFU report
+            try:
+                with jax.profiler.trace(args.profile):
+                    jax.block_until_ready(bwd_f(scene, 2))
+                print(f"profiler trace -> {args.profile}", file=sys.stderr)
+            except Exception as e:
+                print(f"profiler capture failed (non-fatal): {e}",
+                      file=sys.stderr)
 
         def row(label, t, fl):
             tf = fl * px / t / 1e12
