@@ -664,6 +664,14 @@ def _bwd_kernel(
         grad_cam_ref[...] += g_cam
 
 
+# Fused shadow-routing one-hot budget: (N, ns*tile_px) f32 must stay small
+# enough not to raise the replay backward's scoped-VMEM peak (~16MB total,
+# already tight at 201 objects — CLAUDE.md). 2MB fuses every reference
+# scene (scene_0: 9*3*2048*4 = 221KB) while 201-object scenes keep the
+# per-sample loop (4.9MB would not fit next to the replay residuals).
+_SHADOW_FUSE_BYTES = 2 * 1024 * 1024
+
+
 def _route_record_grads(n: int, records, g_records):
     """Path-replay gradient routing: per-object (N, 16) row gradients from
     per-pixel winner-plane cotangents.
@@ -707,11 +715,28 @@ def _route_record_grads(n: int, records, g_records):
             G = add(G, rec.obj, cols)
         else:  # ShadowRecord: (ns, th, tw) batch; only emission carries grad
             ns = rec.obj.shape[0]
-            for k in range(ns):
+            # The ns per-sample dots share 13 identically-zero gmat rows;
+            # concatenating the samples along the LANE axis (Mosaic-safe,
+            # unlike a rank-3 flatten) fuses them into ONE dot with the
+            # same MACs, dropping (ns-1) fixed per-dot costs. Gated on the
+            # fused one-hot's size so large-N replay keeps its measured
+            # VMEM peak (the 201-object scene is already tight).
+            if n * ns * rec.obj[0].size * 4 <= _SHADOW_FUSE_BYTES:
+                def cat(a):
+                    return jnp.concatenate([a[k] for k in range(ns)], axis=1)
+
                 cols = [None] * 12 + [
-                    g.emission.x[k], g.emission.y[k], g.emission.z[k], None,
+                    cat(g.emission.x), cat(g.emission.y), cat(g.emission.z),
+                    None,
                 ]
-                G = add(G, rec.obj[k], cols)
+                G = add(G, cat(rec.obj), cols)
+            else:
+                for k in range(ns):
+                    cols = [None] * 12 + [
+                        g.emission.x[k], g.emission.y[k], g.emission.z[k],
+                        None,
+                    ]
+                    G = add(G, rec.obj[k], cols)
     return G
 
 

@@ -493,6 +493,49 @@ def test_path_replay_grads_match_xla_autodiff(n_objects):
     )
 
 
+def test_shadow_routing_fusion_matches_per_sample_dots(monkeypatch):
+    """_route_record_grads fuses a ShadowRecord's ns per-sample routing
+    dots into one lane-axis-concatenated dot when the fused one-hot fits
+    the VMEM budget (_SHADOW_FUSE_BYTES); above the budget it keeps the
+    per-sample loop. Both must equal a scalar segment-sum oracle: G[i,c]
+    accumulates g_emission[c][s,p] over {samples s, pixels p} whose
+    recorded winner is object i (obj == -1 routes nowhere)."""
+    from ray_tracing_tpu.kernels import megakernel as mk
+    from ray_tracing_tpu.ops.intersect import ShadowRecord
+
+    rng = np.random.default_rng(3)
+    n, ns, th, tw = 9, 3, 8, 128
+    obj = jnp.asarray(rng.integers(-1, n, size=(ns, th, tw)), jnp.int32)
+    rec = ShadowRecord(
+        obj=obj, hit=(obj >= 0).astype(jnp.float32),
+        emission=Vec3(*(jnp.zeros((ns, th, tw), jnp.float32),) * 3),
+    )
+    g = ShadowRecord(
+        obj=jnp.zeros_like(obj), hit=jnp.zeros((ns, th, tw), jnp.float32),
+        emission=Vec3(*(
+            jnp.asarray(rng.standard_normal((ns, th, tw)), jnp.float32)
+            for _ in range(3)
+        )),
+    )
+
+    assert n * ns * th * tw * 4 <= mk._SHADOW_FUSE_BYTES
+    G_fused = mk._route_record_grads(n, [rec], [g])
+    monkeypatch.setattr(mk, "_SHADOW_FUSE_BYTES", 0)
+    G_loop = mk._route_record_grads(n, [rec], [g])
+
+    want = np.zeros((n, mk.SCENE_COLS), np.float32)
+    o = np.asarray(obj)
+    for c, plane in enumerate(
+        [np.asarray(g.emission.x), np.asarray(g.emission.y),
+         np.asarray(g.emission.z)], start=12
+    ):
+        for i in range(n):
+            want[i, c] = plane[o == i].sum()
+
+    np.testing.assert_allclose(np.asarray(G_loop), want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(G_fused), want, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("n_objects", [9, 60])
 def test_fetch_replay_grads_match_xla_autodiff(n_objects):
     """Fetch backward math (bwd_mode="fetch", the default) in pure XLA:
