@@ -265,9 +265,11 @@ def sparse_sky_lookup(
       reuse:  cache_valid & (flat == cache_flat)  -> cached texel. Equality
               of the flat index implies equality of the texel, so reuse is
               exact by construction, not an approximation.
-      fresh:  BLOCK-compacted gather — jnp.nonzero over per-128-pixel-block
-              "any fresh" flags (a whole-frame nonzero costs 20+ms on TPU;
-              over blocks it is ~1.7ms), then 1-D gathers/scatter over the
+      fresh:  BLOCK-compacted gather — per-128-pixel-block "any fresh"
+              flags compacted by an exclusive cumsum + one scatter (the
+              semantics of jnp.nonzero(size=…, fill_value=nb), whose TPU
+              lowering costs ~1.7ms even at 16K flags; a whole-frame
+              nonzero costs 20+ms), then 1-D gathers/scatter over the
               selected blocks' pixels. Fresh pixels cluster spatially
               (object silhouettes), so block granularity over-gathers only
               ~2x. Two static budget tiers + full-gather fallback via
@@ -308,7 +310,21 @@ def sparse_sky_lookup(
 
         def compacted(bb):
             def run(_):
-                pos_b = jnp.nonzero(fb, size=bb, fill_value=nb)[0]
+                # equivalent of jnp.nonzero(fb, size=bb, fill_value=nb)[0]
+                # — first bb true block ids ascending, nb-padded — via an
+                # exclusive cumsum + one scatter. XLA's nonzero lowers to a
+                # ~1.7ms fixed-cost pipeline at 16K flags on TPU (measured,
+                # BENCH_NOTES round 2); the explicit form prices at one
+                # 16K cumsum + one 16K scatter (~185M elem/s), an
+                # order-of-magnitude less, and runs PER SAMPLE in every
+                # skybox render.
+                fbi = fb.astype(jnp.int32)
+                slot = jnp.cumsum(fbi) - fbi  # exclusive prefix: write slot
+                pos_b = (
+                    jnp.full((bb,), nb, jnp.int32)
+                    .at[jnp.where(fb, slot, bb)]
+                    .set(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+                )
                 pos = (
                     pos_b[:, None] * SPARSE_BLOCK
                     + jax.lax.broadcasted_iota(jnp.int32, (bb, SPARSE_BLOCK), 1)

@@ -450,6 +450,23 @@ def test_sparse_sky_lookup_exact():
         # result must still equal the full gather
         np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want))
 
+    # BLOCK-CONCENTRATED fresh pixels: with scattered `need` above, every
+    # block has a fresh pixel and the lax.cond takes the full-gather
+    # fallback — these cases force the compacted tiers to actually
+    # EXECUTE (values, not just traces): 1 fresh block <= tier0
+    # (budget//4), 3 fresh blocks <= tier1 (budget)
+    for fresh_blocks in (1, 3):
+        flat = jnp.asarray(rng.integers(0, n, size), jnp.int32).reshape(
+            8, SPARSE_BLOCK
+        )
+        mask = np.zeros((8, SPARSE_BLOCK), bool)
+        for b in rng.choice(8, fresh_blocks, replace=False):
+            mask[b, rng.choice(SPARSE_BLOCK, 9, replace=False)] = True
+        need = jnp.asarray(mask)
+        want = jnp.where(need, jnp.take(cm.packed, flat), jnp.uint32(0))
+        got = sparse_sky_lookup(cm, flat, need, budget=4)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     # non-multiple-of-block sizes fall back to the full gather
     flat = jnp.asarray(rng.integers(0, n, 100), jnp.int32)
     need = jnp.asarray(rng.random(100) < 0.5)
