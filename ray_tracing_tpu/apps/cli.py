@@ -136,16 +136,25 @@ def main(argv=None):
         from ray_tracing_tpu.render.film import render_pass_pallas
 
         @functools.partial(jax.jit, static_argnames=("scale", "spp"))
-        def pass_fn(scene, camera, film, seed, scale, spp):
+        def pass_fn(scene, camera, film, seed, scale, spp, sky_cache=None):
             return render_pass_pallas(scene, camera, film, seed, scale,
-                                      config, cubemap, spp=spp)
+                                      config, cubemap, spp=spp,
+                                      sky_cache=sky_cache,
+                                      return_sky_cache=True)
 
-        def render_fn(scene, camera, film, key, scale):
+        def render_fn(scene, camera, film, key, scale, sky_cache=None):
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             # full-res passes batch samples so the sparse sky gather
-            # amortizes its sample-0 full gather (film.py rationale)
-            return pass_fn(scene, camera, film, seed, scale=scale,
-                           spp=4 if scale == 1 else 1)
+            # amortizes its sample-0 full gather across the pass, and
+            # the returned cache carries it ACROSS passes at the fixed
+            # camera (film.py rationale). Pyramid scales render other
+            # plane shapes — never feed them the full-res cache.
+            if scale != 1:
+                film, _ = pass_fn(scene, camera, film, seed, scale=scale,
+                                  spp=1)
+                return film, sky_cache
+            return pass_fn(scene, camera, film, seed, scale=1, spp=4,
+                           sky_cache=sky_cache)
     else:
         @functools.partial(jax.jit, static_argnames=("scale",))
         def pass_fn(scene, camera, film, key, scale):

@@ -103,20 +103,34 @@ class RenderService:
         if film_checkpoint:
             self._restore_film_state()
 
+        self._sky_cache = None
         if use_pallas:
             import functools
 
             @functools.partial(jax.jit, static_argnames=("scale", "spp"))
-            def pfn(scene, camera, film, seed, scale, spp):
+            def pfn(scene, camera, film, seed, scale, spp, sky_cache=None):
                 return render_pass_pallas(scene, camera, film, seed, scale,
-                                          config, cubemap, spp=spp)
+                                          config, cubemap, spp=spp,
+                                          sky_cache=sky_cache,
+                                          return_sky_cache=True)
 
-            # full-res passes batch samples: the sparse sky gather
-            # amortizes its sample-0 full gather (film.py rationale)
-            self._pass = lambda key, scale: pfn(
-                self.scene, self.camera, self.film,
-                jax.random.randint(key, (), 0, 2**31 - 1), scale=scale,
-                spp=4 if scale == 1 else 1)
+            # full-res passes batch samples (the sparse sky gather
+            # amortizes its sample-0 full gather across the pass) and
+            # thread the cache across passes at the fixed camera
+            # (film.py rationale); pyramid scales render other plane
+            # shapes — never feed them the full-res cache
+            def _pass(key, scale):
+                seed = jax.random.randint(key, (), 0, 2**31 - 1)
+                if scale != 1:
+                    film, _ = pfn(self.scene, self.camera, self.film, seed,
+                                  scale=scale, spp=1)
+                    return film
+                film, self._sky_cache = pfn(
+                    self.scene, self.camera, self.film, seed, scale=1,
+                    spp=4, sky_cache=self._sky_cache)
+                return film
+
+            self._pass = _pass
         else:
             import functools
 
@@ -132,6 +146,9 @@ class RenderService:
 
         self.film = Film.zero(self.width, self.height)
         self.pass_i = 0
+        # the sky cache stays exact across camera moves but its hit rate
+        # dies with them — reseed with the film
+        self._sky_cache = None
 
     def handle(self, ev: str):
         from ray_tracing_tpu.render import camera as cam_mod

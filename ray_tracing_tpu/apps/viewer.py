@@ -187,12 +187,27 @@ class Viewer:
         self.scales = list(progressive_scales(config))
         self.pass_i = 0
         self.frame_count = 0
+        # cross-pass sparse sky cache (megakernel.render_image_pallas):
+        # a cache-aware render_fn takes a sky_cache kwarg and returns
+        # (film, cache); the plain XLA render_fn keeps the old signature
+        self.sky_cache = None
+        try:
+            import inspect
+
+            self._cache_aware = "sky_cache" in inspect.signature(
+                render_fn
+            ).parameters
+        except (TypeError, ValueError):
+            self._cache_aware = False
 
     def invalidate(self):
         # invalidate_accumulation (src/main.c:115-124): zero buffers,
-        # restart the scale pyramid
+        # restart the scale pyramid. The sky cache stays EXACT across
+        # camera moves but its hit rate dies with them — reseed with the
+        # film (and resize changes its shape outright).
         self.film = Film.zero(self.width, self.height)
         self.pass_i = 0
+        self.sky_cache = None
 
     def resize(self, width: int, height: int):
         """realloc_frame_buffer semantics (src/main.c:416-448): new buffers
@@ -294,7 +309,15 @@ class Viewer:
         if not hasattr(self, "meter"):
             self.meter = RateMeter()
         scale = self.scales[min(self.pass_i, len(self.scales) - 1)]
-        self.film = self.render_fn(self.scene, self.camera, self.film, key, scale)
+        if self._cache_aware:
+            self.film, self.sky_cache = self.render_fn(
+                self.scene, self.camera, self.film, key, scale,
+                sky_cache=self.sky_cache,
+            )
+        else:
+            self.film = self.render_fn(
+                self.scene, self.camera, self.film, key, scale
+            )
         self.meter.add(
             rays_per_frame(self.width // scale, self.height // scale, 1, self.config)
         )

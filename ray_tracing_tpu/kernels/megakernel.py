@@ -1203,11 +1203,25 @@ def render_image_pallas(
     row0=0,
     norm_height: int | None = None,
     aspect: float | None = None,
+    sky_cache=None,
+    return_sky_cache: bool = False,
 ):
     """Full render via the megakernel + deferred XLA sky gather. Drop-in for
     render_image (same statistics, different RNG streams) and differentiable
     end-to-end (fwd+bwd both Pallas). row0/norm_height/aspect as in
-    render_tiles_pallas (row-slice rendering for the sharded path)."""
+    render_tiles_pallas (row-slice rendering for the sharded path).
+
+    sky_cache / return_sky_cache thread the sparse sky cache ACROSS calls
+    (the interactive film loop renders many passes at a fixed camera, and
+    re-seeding the cache costs a full-frame gather per call): pass
+    return_sky_cache=True to get (img, cache) back, and feed that cache
+    into the next same-shaped call so every sample (including sample 0)
+    takes the sparse path. Exact for ANY cache state — reuse is keyed on
+    nearest-texel index EQUALITY, so a stale cache (moved camera) only
+    lowers the hit rate, never changes a texel — but the cache is only
+    valid for the cubemap it was gathered from: drop it if the cubemap
+    changes. Returns cache=None when the workload can't use one
+    (constant/bilinear sky, unpacked cubemap); keep passing None."""
     if tile_h is None or tile_w is None:
         dth, dtw = default_tiles(scene, config)
         tile_h = tile_h or dth
@@ -1265,19 +1279,19 @@ def render_image_pallas(
         return compose(t, sky)
 
     # Sparse sky gather (bit-identical to the full path): sample 0 gathers
-    # every miss texel and becomes the cache; later samples gather only
-    # pixels whose nearest-texel INDEX changed (ops/cubemap.py rationale).
-    use_sparse = (
-        spp > 1
-        and config.sky_sparse_gather
+    # every miss texel and becomes the cache — unless a caller-threaded
+    # cache exists, in which case EVERY sample gathers only pixels whose
+    # nearest-texel INDEX changed (ops/cubemap.py rationale).
+    sparse_capable = (
+        config.sky_sparse_gather
         and config.env_filter == "nearest"
         and cubemap.packed is not None
         and cubemap.h * cubemap.w > 1
     )
+    use_sparse = sparse_capable and (spp > 1 or sky_cache is not None)
+    out_cache = None
 
-    if spp == 1:
-        out = one(seed)
-    elif use_sparse:
+    if use_sparse:
         from ray_tracing_tpu.ops.cubemap import (
             sparse_sky_lookup,
             texel_flat_index,
@@ -1285,13 +1299,22 @@ def render_image_pallas(
         )
 
         seeds = seed * jnp.int32(7919) + jnp.arange(spp, dtype=jnp.int32)
-        t0 = tiles(seeds[0])
-        flat0 = texel_flat_index(cubemap, Vec3(t0["sx"], t0["sy"], t0["sz"]))
-        miss0 = t0["miss"] > 0.5
-        packed0 = jnp.where(
-            miss0, jnp.take(cubemap.packed, flat0), jnp.uint32(0)
-        )
-        acc0 = compose(t0, unpack_texels(packed0))
+        if sky_cache is None:
+            t0 = tiles(seeds[0])
+            flat0 = texel_flat_index(
+                cubemap, Vec3(t0["sx"], t0["sy"], t0["sz"])
+            )
+            miss0 = t0["miss"] > 0.5
+            packed0 = jnp.where(
+                miss0, jnp.take(cubemap.packed, flat0), jnp.uint32(0)
+            )
+            acc0 = compose(t0, unpack_texels(packed0))
+            rest = seeds[1:]
+        else:
+            flat0, packed0, miss0 = sky_cache
+            acc0 = Vec3.zeros(flat0.shape)
+            rest = seeds
+        out_cache = (flat0, packed0, miss0)
         # budget is in 128-pixel blocks (ops/cubemap.SPARSE_BLOCK)
         budget = max(
             int(flat0.size * config.sky_sparse_budget_frac) // 128, 256
@@ -1306,8 +1329,10 @@ def render_image_pallas(
             )
             return acc + compose(t, unpack_texels(packed)), None
 
-        total, _ = jax.lax.scan(body, acc0, seeds[1:])
+        total, _ = jax.lax.scan(body, acc0, rest)
         out = total * (1.0 / spp)
+    elif spp == 1:
+        out = one(seed)
     else:
         hp, wp = _plane_shape(width, height, tile_h, tile_w)
 
@@ -1322,4 +1347,7 @@ def render_image_pallas(
         out = total * (1.0 / spp)
 
     img = out.to_array()
-    return img[:height, :width]
+    img = img[:height, :width]
+    if return_sky_cache:
+        return img, out_cache
+    return img

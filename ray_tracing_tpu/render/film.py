@@ -122,7 +122,9 @@ def render_pass_pallas(
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
     spp: int = 1,
-) -> Film:
+    sky_cache=None,
+    return_sky_cache: bool = False,
+):
     """render_pass on the Pallas megakernel (TPU fast path for the
     interactive viewer). Same accumulation semantics, hardware PRNG.
 
@@ -130,7 +132,14 @@ def render_pass_pallas(
     spp/scale^2 — statistically identical to spp single-sample passes,
     but the sparse sky gather amortizes its full-frame sample-0 gather
     across the pass (skybox viewers should run full-res passes at
-    spp 4-8; see ops/cubemap.sparse_sky_lookup)."""
+    spp 4-8; see ops/cubemap.sparse_sky_lookup).
+
+    return_sky_cache=True returns (Film, sky_cache); feeding the cache
+    into the next SAME-SHAPED pass (the accumulation loop at a fixed
+    scale) removes even that per-pass sample-0 full-frame gather —
+    bit-identical by construction (megakernel.render_image_pallas).
+    Reset the cache to None with the film on invalidation (it stays
+    exact across camera moves, but its hit rate dies with them)."""
     from ray_tracing_tpu.kernels.megakernel import render_image_pallas
 
     width, height = film.width, film.height
@@ -142,11 +151,17 @@ def render_pass_pallas(
     img = render_image_pallas(
         scene, camera, lw, lh, seed, spp=spp, config=config, cubemap=cubemap,
         aspect=width / height,
+        sky_cache=sky_cache, return_sky_cache=return_sky_cache,
     )
+    if return_sky_cache:
+        img, sky_cache = img
     rgb = Vec3(img[..., 0], img[..., 1], img[..., 2])
     full = upsample_replicate(rgb, scale, width, height)
     w = jnp.float32(spp / (scale * scale))
-    return Film(accum=film.accum + full * w, weight=film.weight + w)
+    out = Film(accum=film.accum + full * w, weight=film.weight + w)
+    if return_sky_cache:
+        return out, sky_cache
+    return out
 
 
 def progressive_scales(config: RenderConfig = DEFAULT_CONFIG):

@@ -38,6 +38,42 @@ def make_viewer(tmp_path=None):
     return Viewer(scene, Camera.default(), 32, 24, CFG, render_fn, out=io.StringIO())
 
 
+def test_viewer_threads_sky_cache_through_cache_aware_render_fn():
+    """A render_fn with a sky_cache kwarg gets the previous pass's cache
+    back and its returned cache is stored; invalidation (camera events,
+    resize) resets the cache with the film. The plain 5-arg render_fn
+    (XLA path) keeps its old contract untouched."""
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3),
+    ])
+    seen = []
+
+    def render_fn(scene, camera, film, key, scale, sky_cache=None):
+        seen.append(sky_cache)
+        return render_pass(scene, camera, film, key, scale, CFG, SKY), (
+            "cache", len(seen)
+        )
+
+    v = Viewer(scene, Camera.default(), 32, 24, CFG, render_fn,
+               out=io.StringIO())
+    assert v._cache_aware and v.sky_cache is None
+    key = jax.random.key(0)
+    v.step(key)
+    v.step(key)
+    assert seen == [None, ("cache", 1)]
+    assert v.sky_cache == ("cache", 2)
+    v.invalidate()
+    assert v.sky_cache is None
+    v.step(key)
+    assert seen[-1] is None
+
+    # the old contract: no kwarg, nothing threaded
+    plain = make_viewer()
+    assert not plain._cache_aware
+    plain.step(key)
+    assert plain.sky_cache is None
+
+
 def test_parser_reference_flags():
     p = build_parser()
     a = p.parse_args(["--scene", "s.txt", "--threads", "16", "--init-scale", "2"])

@@ -284,6 +284,53 @@ def test_megakernel_interpret_zero_shadow_samples_lit_scene():
     assert abs(img.mean() - ref.mean()) < 0.03
 
 
+@pytest.mark.skipif(not SLOW, reason="TPU-interpreter compile is minutes-slow; set RTT_SLOW=1")
+def test_sky_cache_threading_bit_identical():
+    """Cross-call sparse sky cache (render_image_pallas sky_cache /
+    return_sky_cache): a render fed the previous call's cache must be
+    BIT-IDENTICAL to the same render without one — and a STALE cache
+    (gathered at a different camera) must also change nothing, because
+    reuse is keyed on nearest-texel index equality (exact by
+    construction; only the hit rate suffers)."""
+    if on_tpu():
+        pytest.skip("interpreter path is CPU-only coverage")
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+    from ray_tracing_tpu.ops.cubemap import checker_sky
+
+    cfg = RenderConfig(bounces=2, shadow_samples=1)
+    sky = checker_sky(16)  # packed uint32: the sparse path is live
+    cam = Camera.default()
+    s = scene()
+    kw = dict(spp=2, config=cfg, cubemap=sky,
+              interpret=pltpu.InterpretParams())
+
+    img0, cache = render_image_pallas(
+        s, cam, 128, 32, 7, return_sky_cache=True, **kw
+    )
+    assert cache is not None
+    # same call again, now fed the cache: identical image, cache echoed
+    img1, cache1 = render_image_pallas(
+        s, cam, 128, 32, 7, sky_cache=cache, return_sky_cache=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    for a, b in zip(cache, cache1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a stale cache from a moved camera: exact values regardless
+    from ray_tracing_tpu.render import camera as cam_mod
+
+    moved = cam_mod.rotate(cam, 400.0, 120.0, cfg)
+    want = np.asarray(render_image_pallas(s, moved, 128, 32, 9, **kw))
+    got = np.asarray(render_image_pallas(
+        s, moved, 128, 32, 9, sky_cache=cache, **kw
+    ))
+    np.testing.assert_array_equal(want, got)
+
+
 @pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
 def test_sharded_pallas_on_tpu_matches_unsharded():
     """render_image_sharded(kernel='pallas') on a 1-device TPU mesh is the

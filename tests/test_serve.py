@@ -171,3 +171,51 @@ def test_film_checkpoint_resume(tmp_path):
     svc6 = RenderService(scene, 24, 16, cfg, constant_sky((0.9, 0.1, 0.1)),
                          use_pallas=False, film_checkpoint=ck)
     assert float(svc6.film.weight) == 0.0
+
+
+def test_pallas_pass_threads_sky_cache(monkeypatch):
+    """The use_pallas _pass closure threads the cross-pass sky cache:
+    full-res passes feed the previous cache in and store the returned
+    one; pyramid passes never touch it; invalidate() drops it. The
+    megakernel itself is TPU-only, so the plumbing is validated against
+    a traceable stand-in for render_pass_pallas (the real kernel's
+    cache semantics are pinned bit-exactly in test_megakernel.py::
+    test_sky_cache_threading_bit_identical)."""
+    import jax.numpy as jnp
+
+    from ray_tracing_tpu.render import film as film_mod
+    from ray_tracing_tpu.render.film import render_pass
+
+    seen = []
+
+    def fake_render_pass_pallas(scene, camera, film, seed, scale, config,
+                                cubemap, spp=1, sky_cache=None,
+                                return_sky_cache=False):
+        assert return_sky_cache
+        seen.append((scale, sky_cache is not None))
+        out = render_pass(scene, camera, film, jax.random.key(0), scale,
+                          config, cubemap)
+        prev = sky_cache[0] if sky_cache is not None else jnp.int32(0)
+        return out, (prev + 1,)
+
+    monkeypatch.setattr(film_mod, "render_pass_pallas",
+                        fake_render_pass_pallas)
+
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3),
+    ])
+    cfg = RenderConfig(bounces=2, shadow_samples=1, init_scale=2)
+    svc = RenderService(scene, 32, 24, cfg, constant_sky((0.4, 0.5, 0.6)),
+                        use_pallas=True)
+
+    key = jax.random.key(1)
+    svc.film = svc._pass(key, 2)      # pyramid pass: no cache involved
+    assert svc._sky_cache is None
+    svc.film = svc._pass(key, 1)      # seeds the cache
+    assert int(svc._sky_cache[0]) == 1
+    svc.film = svc._pass(key, 1)      # threads it
+    assert int(svc._sky_cache[0]) == 2
+    assert seen == [(2, False), (1, False), (1, True)]
+
+    svc.invalidate()                  # camera events drop the cache
+    assert svc._sky_cache is None
