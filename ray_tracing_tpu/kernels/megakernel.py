@@ -1305,20 +1305,24 @@ def render_image_pallas(
                 cubemap, Vec3(t0["sx"], t0["sy"], t0["sz"])
             )
             miss0 = t0["miss"] > 0.5
-            packed0 = jnp.where(
-                miss0, jnp.take(cubemap.packed, flat0), jnp.uint32(0)
+            # budget is in 128-pixel blocks (ops/cubemap.SPARSE_BLOCK)
+            budget = max(
+                int(flat0.size * config.sky_sparse_budget_frac) // 128, 256
             )
+            # seed through the same block compaction (cache-less: every
+            # miss pixel is fresh): indoor scenes gather only their sky
+            # blocks; sky-dominated frames take the full-gather cond arm
+            packed0 = sparse_sky_lookup(cubemap, flat0, miss0, budget=budget)
             acc0 = compose(t0, unpack_texels(packed0))
             rest = seeds[1:]
         else:
             flat0, packed0, miss0 = sky_cache
             acc0 = Vec3.zeros(flat0.shape)
             rest = seeds
+            budget = max(
+                int(flat0.size * config.sky_sparse_budget_frac) // 128, 256
+            )
         out_cache = (flat0, packed0, miss0)
-        # budget is in 128-pixel blocks (ops/cubemap.SPARSE_BLOCK)
-        budget = max(
-            int(flat0.size * config.sky_sparse_budget_frac) // 128, 256
-        )
 
         def body(acc, s):
             t = tiles(s)
