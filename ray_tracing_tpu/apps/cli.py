@@ -47,6 +47,36 @@ def build_parser():
     return p
 
 
+def make_pallas_render_fn(config, cubemap):
+    """Viewer render_fn on the Pallas megakernel: full-res passes batch
+    spp=4 so the sparse sky gather amortizes its sample-0 full gather
+    across the pass, and the returned cache carries it ACROSS passes at
+    the fixed camera (film.py rationale). Pyramid scales render other
+    plane shapes — they never touch the full-res cache. The sky_cache
+    kwarg + (film, cache) return is the Viewer's cache-aware contract
+    (apps/viewer.py)."""
+    import jax
+
+    from ray_tracing_tpu.render.film import render_pass_pallas
+
+    @functools.partial(jax.jit, static_argnames=("scale", "spp"))
+    def pass_fn(scene, camera, film, seed, scale, spp, sky_cache=None):
+        return render_pass_pallas(scene, camera, film, seed, scale,
+                                  config, cubemap, spp=spp,
+                                  sky_cache=sky_cache,
+                                  return_sky_cache=True)
+
+    def render_fn(scene, camera, film, key, scale, sky_cache=None):
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        if scale != 1:
+            film, _ = pass_fn(scene, camera, film, seed, scale=scale, spp=1)
+            return film, sky_cache
+        return pass_fn(scene, camera, film, seed, scale=1, spp=4,
+                       sky_cache=sky_cache)
+
+    return render_fn
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -133,28 +163,7 @@ def main(argv=None):
     view_h = min(args.height, 108)
 
     if use_pallas:
-        from ray_tracing_tpu.render.film import render_pass_pallas
-
-        @functools.partial(jax.jit, static_argnames=("scale", "spp"))
-        def pass_fn(scene, camera, film, seed, scale, spp, sky_cache=None):
-            return render_pass_pallas(scene, camera, film, seed, scale,
-                                      config, cubemap, spp=spp,
-                                      sky_cache=sky_cache,
-                                      return_sky_cache=True)
-
-        def render_fn(scene, camera, film, key, scale, sky_cache=None):
-            seed = jax.random.randint(key, (), 0, 2**31 - 1)
-            # full-res passes batch samples so the sparse sky gather
-            # amortizes its sample-0 full gather across the pass, and
-            # the returned cache carries it ACROSS passes at the fixed
-            # camera (film.py rationale). Pyramid scales render other
-            # plane shapes — never feed them the full-res cache.
-            if scale != 1:
-                film, _ = pass_fn(scene, camera, film, seed, scale=scale,
-                                  spp=1)
-                return film, sky_cache
-            return pass_fn(scene, camera, film, seed, scale=1, spp=4,
-                           sky_cache=sky_cache)
+        render_fn = make_pallas_render_fn(config, cubemap)
     else:
         @functools.partial(jax.jit, static_argnames=("scale",))
         def pass_fn(scene, camera, film, key, scale):

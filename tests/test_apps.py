@@ -398,3 +398,52 @@ def test_poll_events_x10_payload_split_across_reads(monkeypatch):
     events = vmod.poll_events(timeout=0.2)
     _os.close(r)
     assert (vmod.EV_MOUSE, (5.0, 6.0)) in events
+
+
+def test_cli_pallas_render_fn_cache_contract(monkeypatch):
+    """cli.make_pallas_render_fn drives the Viewer's cache-aware contract:
+    pyramid passes pass the cache through untouched, full-res passes seed
+    and thread it, invalidation drops it. The megakernel is TPU-only, so
+    render_pass_pallas is replaced by a traceable stand-in (its real
+    cache semantics are pinned in test_megakernel.py)."""
+    import jax.numpy as jnp
+
+    from ray_tracing_tpu.apps.cli import make_pallas_render_fn
+    from ray_tracing_tpu.render import film as film_mod
+    from ray_tracing_tpu.render.film import render_pass
+
+    calls = []
+
+    def fake_render_pass_pallas(scene, camera, film, seed, scale, config,
+                                cubemap, spp=1, sky_cache=None,
+                                return_sky_cache=False):
+        assert return_sky_cache
+        calls.append((scale, spp, sky_cache is not None))
+        out = render_pass(scene, camera, film, jax.random.key(0), scale,
+                          config, cubemap)
+        prev = sky_cache[0] if sky_cache is not None else jnp.int32(0)
+        return out, (prev + 1,)
+
+    monkeypatch.setattr(film_mod, "render_pass_pallas",
+                        fake_render_pass_pallas)
+
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3),
+    ])
+    cfg = RenderConfig(bounces=2, shadow_samples=1, init_scale=2)
+    render_fn = make_pallas_render_fn(cfg, SKY)
+    v = Viewer(scene, Camera.default(), 32, 24, cfg, render_fn,
+               out=io.StringIO())
+    assert v._cache_aware
+
+    key = jax.random.key(2)
+    v.step(key)                      # scale 2: pyramid, cache untouched
+    assert v.sky_cache is None
+    v.step(key)                      # scale 1: seeds
+    assert int(v.sky_cache[0]) == 1
+    v.step(key)                      # scale 1: threads
+    assert int(v.sky_cache[0]) == 2
+    assert calls == [(2, 1, False), (1, 4, False), (1, 4, True)]
+
+    v.invalidate()
+    assert v.sky_cache is None
