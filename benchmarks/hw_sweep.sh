@@ -27,5 +27,11 @@ timeout 2400 python benchmarks/mfu.py --profile /tmp/xprof_r3
 echo "== driver headline =="
 timeout 2400 python bench.py
 
+echo "== tile-shape sweep (fwd/bwd shared shapes) =="
+timeout 3500 python benchmarks/tile_sweep.py --quick || true
+
+echo "== interactive film-pass sky-cache gain =="
+timeout 1200 python benchmarks/film_pass.py || true
+
 echo "sweep complete — update BENCH_NOTES round-3 pendings, README table,"
 echo "BASELINE.md achieved rows; then commit."
