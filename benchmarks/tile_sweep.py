@@ -72,27 +72,32 @@ def main():
                     jax.jit(fwd), scene, n=spp_fwd) * 1e3
                 row["fwdbwd_ms"] = timed_per_sample(
                     jax.jit(jax.grad(loss)), scene, n=spp_bwd) * 1e3
-            except Exception as e:  # VMEM overflow etc. — report, keep going
+            except Exception as e:  # VMEM overflow etc. — report, keep
+                # going (a shape whose forward fits but whose backward
+                # residuals overflow lands here with fwd_ms already set)
                 row["error"] = type(e).__name__
-                msg = str(e).splitlines()[0][:100]
+                msg = (str(e).splitlines() or ["?"])[0][:100]
                 print(f"  {name} {th}x{tw}: {msg}", file=sys.stderr)
             rows.append(row)
             print(f"  {name} {th}x{tw}"
                   + (" (default)" if row["default"] else "")
-                  + (f": fwd {row['fwd_ms']:.2f} ms, fwd+bwd "
-                     f"{row['fwdbwd_ms']:.2f} ms/sample"
-                     if "fwd_ms" in row else ": OOM/compile-fail"),
+                  + (f": fwd {row.get('fwd_ms', float('nan')):.2f} ms, "
+                     f"fwd+bwd {row.get('fwdbwd_ms', float('nan')):.2f} "
+                     "ms/sample"
+                     if "error" not in row else ": OOM/compile-fail"),
                   file=sys.stderr)
 
     print("\n| scene | tile | fwd ms/sample | fwd+bwd ms/sample |")
     print("|---|---|---|---|")
     for r in rows:
         mark = " *" if r["default"] else ""
-        if "fwd_ms" in r:
+        if "error" in r:
+            fwd = f"{r['fwd_ms']:.2f}" if "fwd_ms" in r else r["error"]
+            print(f"| {r['scene']} | {r['tile']}{mark} | {fwd} | "
+                  f"{r['error']} |")
+        else:
             print(f"| {r['scene']} | {r['tile']}{mark} | "
                   f"{r['fwd_ms']:.2f} | {r['fwdbwd_ms']:.2f} |")
-        else:
-            print(f"| {r['scene']} | {r['tile']}{mark} | {r['error']} | — |")
     print(json.dumps({"rows": [
         {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()}
         for r in rows]}))

@@ -76,7 +76,6 @@ class RenderService:
             Film,
             progressive_scales,
             render_pass,
-            render_pass_pallas,
         )
         from ray_tracing_tpu.utils.profiling import RateMeter, rays_per_frame
 
@@ -105,29 +104,18 @@ class RenderService:
 
         self._sky_cache = None
         if use_pallas:
-            import functools
+            # same pass policy as the CLI viewer (one tested
+            # implementation): full-res passes batch spp=4 and thread
+            # the sparse sky cache across passes at the fixed camera;
+            # pyramid scales never touch it
+            from ray_tracing_tpu.apps.cli import make_pallas_render_fn
 
-            @functools.partial(jax.jit, static_argnames=("scale", "spp"))
-            def pfn(scene, camera, film, seed, scale, spp, sky_cache=None):
-                return render_pass_pallas(scene, camera, film, seed, scale,
-                                          config, cubemap, spp=spp,
-                                          sky_cache=sky_cache,
-                                          return_sky_cache=True)
+            rf = make_pallas_render_fn(config, cubemap)
 
-            # full-res passes batch samples (the sparse sky gather
-            # amortizes its sample-0 full gather across the pass) and
-            # thread the cache across passes at the fixed camera
-            # (film.py rationale); pyramid scales render other plane
-            # shapes — never feed them the full-res cache
             def _pass(key, scale):
-                seed = jax.random.randint(key, (), 0, 2**31 - 1)
-                if scale != 1:
-                    film, _ = pfn(self.scene, self.camera, self.film, seed,
-                                  scale=scale, spp=1)
-                    return film
-                film, self._sky_cache = pfn(
-                    self.scene, self.camera, self.film, seed, scale=1,
-                    spp=4, sky_cache=self._sky_cache)
+                film, self._sky_cache = rf(
+                    self.scene, self.camera, self.film, key, scale,
+                    sky_cache=self._sky_cache)
                 return film
 
             self._pass = _pass

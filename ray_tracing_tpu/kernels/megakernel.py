@@ -1298,30 +1298,36 @@ def render_image_pallas(
             unpack_texels,
         )
 
-        seeds = seed * jnp.int32(7919) + jnp.arange(spp, dtype=jnp.int32)
+        # spp==1 (only reachable with a threaded cache) keeps the exact
+        # PRNG stream of the uncached one(seed) path — the cache must
+        # never change which sample gets rendered, only how its sky
+        # texels are fetched
+        if spp == 1:
+            seeds = jnp.asarray(seed, jnp.int32).reshape(1)
+        else:
+            seeds = seed * jnp.int32(7919) + jnp.arange(spp, dtype=jnp.int32)
         if sky_cache is None:
             t0 = tiles(seeds[0])
             flat0 = texel_flat_index(
                 cubemap, Vec3(t0["sx"], t0["sy"], t0["sz"])
             )
             miss0 = t0["miss"] > 0.5
-            # budget is in 128-pixel blocks (ops/cubemap.SPARSE_BLOCK)
-            budget = max(
-                int(flat0.size * config.sky_sparse_budget_frac) // 128, 256
-            )
+            rest = seeds[1:]
+        else:
+            flat0, packed0, miss0 = sky_cache
+            rest = seeds
+        # budget is in 128-pixel blocks (ops/cubemap.SPARSE_BLOCK)
+        budget = max(
+            int(flat0.size * config.sky_sparse_budget_frac) // 128, 256
+        )
+        if sky_cache is None:
             # seed through the same block compaction (cache-less: every
             # miss pixel is fresh): indoor scenes gather only their sky
             # blocks; sky-dominated frames take the full-gather cond arm
             packed0 = sparse_sky_lookup(cubemap, flat0, miss0, budget=budget)
             acc0 = compose(t0, unpack_texels(packed0))
-            rest = seeds[1:]
         else:
-            flat0, packed0, miss0 = sky_cache
             acc0 = Vec3.zeros(flat0.shape)
-            rest = seeds
-            budget = max(
-                int(flat0.size * config.sky_sparse_budget_frac) // 128, 256
-            )
         out_cache = (flat0, packed0, miss0)
 
         def body(acc, s):

@@ -330,6 +330,16 @@ def test_sky_cache_threading_bit_identical():
     ))
     np.testing.assert_array_equal(want, got)
 
+    # spp=1 with a cache keeps the UNCACHED one(seed) stream: the cache
+    # may only change how sky texels are fetched, never which sample is
+    # rendered
+    kw1 = dict(kw, spp=1)
+    want1 = np.asarray(render_image_pallas(s, cam, 128, 32, 11, **kw1))
+    got1 = np.asarray(render_image_pallas(
+        s, cam, 128, 32, 11, sky_cache=cache, **kw1
+    ))
+    np.testing.assert_array_equal(want1, got1)
+
 
 @pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
 def test_sharded_pallas_on_tpu_matches_unsharded():
