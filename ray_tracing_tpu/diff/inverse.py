@@ -80,6 +80,7 @@ def make_train_step(
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
     kernel: str = "auto",
+    sky_cache_mode: bool = False,
 ):
     """Build a jitted SPMD train step.
 
@@ -91,6 +92,16 @@ def make_train_step(
     bwd, kernels/megakernel.py) on TPU meshes and the XLA integrator
     elsewhere; per-device kernel gradients are psum-combined over the mesh
     exactly like the XLA path's.
+
+    sky_cache_mode=True (Pallas kernels with a packed cubemap) changes
+    the signature to step(params, opt_state, target, key, sky_cache) ->
+    (params, opt_state, loss, sky_cache): each device's sparse sky cache
+    threads across steps so only the first step (and periodic reseeds —
+    pass sky_cache=None) pays the full-frame seeding gather. Exact for
+    any cache state (megakernel.render_image_pallas): parameter updates
+    move silhouettes/specular chains, which only lowers the cache hit
+    rate, never changes a texel. The cache is per-device state, stacked
+    over BOTH mesh axes in the returned global array.
     """
     n_tiles = mesh.shape[TILE_AXIS]
     n_samples = mesh.shape[SAMPLE_AXIS]
@@ -109,7 +120,7 @@ def make_train_step(
     denom = float(width * height * 3)
     kernel = resolve_kernel(kernel, mesh)
 
-    def local_value_and_grad(params, target_local, key):
+    def local_value_and_grad(params, target_local, key, sky_cache=None):
         def loss_fn(p):
             base = base_scene
             if {"emission_power", "emission_color"} & set(p["scene"]):
@@ -124,33 +135,66 @@ def make_train_step(
             scene = apply_params(base, p["scene"])
             cam = dataclasses.replace(camera, **p["camera"])
             img = _local_tile_render(
-                scene, cam, key, width, height, spp, config, cubemap, kernel
+                scene, cam, key, width, height, spp, config, cubemap,
+                kernel, sky_cache=sky_cache,
+                return_sky_cache=sky_cache_mode,
             )  # (local_h, W, 3), sample-psummed
-            return jnp.sum((img - target_local) ** 2)
+            cache = None
+            if sky_cache_mode:
+                img, cache = img
+            return jnp.sum((img - target_local) ** 2), cache
 
-        sse, g = jax.value_and_grad(loss_fn)(params)
+        (sse, cache), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         # combine: loss over tiles; grads over both mesh axes (each device
         # holds only its own tile x sample contribution)
         loss = jax.lax.psum(sse, TILE_AXIS) / denom
         g = jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, (TILE_AXIS, SAMPLE_AXIS)) / denom, g
         )
-        return loss, g
+        return loss, g, cache
 
-    sharded_vg = jax.shard_map(
-        local_value_and_grad,
-        mesh=mesh,
+    # the cache is per-device state: its leaves stack over BOTH mesh axes
+    # (row-major (tile, sample)) and slice back identically next step
+    cache_spec = P((TILE_AXIS, SAMPLE_AXIS), None)
+
+    if not sky_cache_mode:
+        vg = jax.shard_map(
+            lambda p, t, k: local_value_and_grad(p, t, k)[:2],
+            mesh=mesh,
+            in_specs=(P(), P(TILE_AXIS, None, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(params, opt_state, target, key):
+            loss, grads = vg(params, target, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    vg_seed = jax.shard_map(
+        local_value_and_grad, mesh=mesh,
         in_specs=(P(), P(TILE_AXIS, None, None), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
+        out_specs=(P(), P(), cache_spec), check_vma=False,
+    )
+    vg_cached = jax.shard_map(
+        local_value_and_grad, mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS, None, None), P(), cache_spec),
+        out_specs=(P(), P(), cache_spec), check_vma=False,
     )
 
     @jax.jit
-    def step(params, opt_state, target, key):
-        loss, grads = sharded_vg(params, target, key)
+    def step(params, opt_state, target, key, sky_cache=None):
+        if sky_cache is None:
+            loss, grads, cache = vg_seed(params, target, key)
+        else:
+            loss, grads, cache = vg_cached(params, target, key, sky_cache)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, cache
 
     return step
 
@@ -251,9 +295,21 @@ def fit(
             start = int(state["step"])
             losses = [float(x) for x in state["losses"]]
 
+    # Pallas training threads the per-device sparse sky cache across
+    # steps (only the first step and periodic reseeds pay the full-frame
+    # seeding gather; exact for any cache state — make_train_step). The
+    # cache's premise decays as parameters move silhouettes, so reseed on
+    # a fixed cadence.
+    from ray_tracing_tpu.parallel.render import resolve_kernel
+
+    sky_cache_mode = resolve_kernel(kernel, mesh) == "pallas"
+    sky_cache = None
+    RESEED_EVERY = 32
+
     step = make_train_step(
         base_scene, camera, mesh, optimizer, width, height,
         spp=spp, config=config, cubemap=cubemap, kernel=kernel,
+        sky_cache_mode=sky_cache_mode,
     )
 
     target = jnp.asarray(target, jnp.float32)
@@ -268,9 +324,17 @@ def fit(
         pending.clear()
 
     for i in range(start, steps):
-        params, opt_state, loss = step(
-            params, opt_state, target, jax.random.fold_in(key, i)
-        )
+        if sky_cache_mode:
+            if (i - start) % RESEED_EVERY == 0:
+                sky_cache = None
+            params, opt_state, loss, sky_cache = step(
+                params, opt_state, target, jax.random.fold_in(key, i),
+                sky_cache,
+            )
+        else:
+            params, opt_state, loss = step(
+                params, opt_state, target, jax.random.fold_in(key, i)
+            )
         pending.append(loss)
         if callback is not None:
             drain()

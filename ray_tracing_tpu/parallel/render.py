@@ -39,6 +39,8 @@ def _local_tile_render(
     config: RenderConfig,
     cubemap: CubemapData | None,
     kernel: str = "xla",
+    sky_cache=None,
+    return_sky_cache: bool = False,
 ):
     """Render this device's row-slice of the image, summing its local
     samples. Runs inside shard_map.
@@ -46,7 +48,11 @@ def _local_tile_render(
     kernel: "xla" (render_rays bounce scan), "pallas" (the megakernel — the
     TPU fast path, kernels/megakernel.py, with this device's global row
     offset), or "pallas_interpret" (Pallas interpreter, CPU-testable,
-    forward only)."""
+    forward only).
+
+    sky_cache / return_sky_cache thread this device's sparse sky cache
+    across calls (megakernel.render_image_pallas semantics — exact for
+    any cache state). Pallas kernels only; the XLA path returns None."""
     n_tiles = jax.lax.axis_size(TILE_AXIS)
     n_samples = jax.lax.axis_size(SAMPLE_AXIS)
     tile = jax.lax.axis_index(TILE_AXIS)
@@ -79,7 +85,10 @@ def _local_tile_render(
             config=config, cubemap=cubemap,
             row0=tile * local_h, norm_height=height, aspect=width / height,
             interpret=interpret,
+            sky_cache=sky_cache, return_sky_cache=return_sky_cache,
         )  # (local_h, W, 3) mean over local samples
+        if return_sky_cache:
+            img, sky_cache_out = img
         total = Vec3(img[..., 0], img[..., 1], img[..., 2]) * float(local_spp)
     else:
         # This tile's pixel grid: global-row v, full-width u (src/main.c:293-296).
@@ -108,12 +117,18 @@ def _local_tile_render(
         total, _ = jax.lax.scan(
             lambda acc, k: (acc + one(k), None), Vec3.zeros((local_h, width)), keys
         )
+        sky_cache_out = None  # the XLA path has no sparse sky machinery
 
     # Combine sample shards: the collective accumulation step.
     total = jax.tree_util.tree_map(
         lambda c: jax.lax.psum(c, SAMPLE_AXIS), total
     )
-    return (total * (1.0 / spp)).to_array()  # (local_h, W, 3)
+    out = (total * (1.0 / spp)).to_array()  # (local_h, W, 3)
+    if return_sky_cache:
+        # per-device state — NOT psummed (each (tile, sample) device owns
+        # its own stream's cache)
+        return out, sky_cache_out
+    return out
 
 
 KERNELS = ("auto", "pallas", "pallas_interpret", "xla")

@@ -342,6 +342,50 @@ def test_sky_cache_threading_bit_identical():
 
 
 @pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
+def test_train_step_sky_cache_mode_bit_equal_on_tpu():
+    """sky_cache_mode training on hardware: identical keys => identical
+    streams, and the threaded cache must not change a single texel — the
+    cached steps' losses equal the uncached steps' losses bit-for-bit
+    (the CPU plumbing twin lives in test_parallel.py)."""
+    if not on_tpu():
+        pytest.skip("needs TPU")
+    import optax
+
+    from ray_tracing_tpu.diff.inverse import extract_params, make_train_step
+    from ray_tracing_tpu.io.image import load_cubemap
+    from ray_tracing_tpu.parallel.mesh import make_mesh
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    s = parse_scene_file("/root/reference/scene_2.txt")
+    cam = Camera.default()
+    cfg = RenderConfig()
+    sky = load_cubemap()
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    W, H, spp = 512, 256, 4
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    opt = optax.adam(1e-2)
+
+    losses = {}
+    for mode in (False, True):
+        params = {"scene": extract_params(s, ("p0", "albedo")), "camera": {}}
+        opt_state = opt.init(params)
+        step = make_train_step(s, cam, mesh, opt, W, H, spp=spp, config=cfg,
+                               cubemap=sky, kernel="pallas",
+                               sky_cache_mode=mode)
+        ls, cache = [], None
+        for i in range(3):
+            if mode:
+                params, opt_state, loss, cache = step(
+                    params, opt_state, target, jax.random.key(i), cache)
+            else:
+                params, opt_state, loss = step(
+                    params, opt_state, target, jax.random.key(i))
+            ls.append(float(loss))
+        losses[mode] = ls
+    assert losses[False] == losses[True], losses
+
+
+@pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
 def test_sharded_pallas_on_tpu_matches_unsharded():
     """render_image_sharded(kernel='pallas') on a 1-device TPU mesh is the
     megakernel + the sharded seed/row0 plumbing — it must bit-match the

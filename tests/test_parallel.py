@@ -295,3 +295,77 @@ def test_resolve_kernel_auto_cpu():
     assert resolve_kernel("auto", mesh) == "xla"  # CPU virtual mesh
     assert resolve_kernel("pallas", mesh) == "pallas"
     assert resolve_kernel("xla", mesh) == "xla"
+
+
+def test_train_step_sky_cache_mode_threads_per_device_cache(monkeypatch):
+    """sky_cache_mode=True: step(params, opt, target, key, sky_cache) ->
+    (params, opt, loss, sky_cache), where the cache is per-(tile, sample)
+    device state stacked over BOTH mesh axes and sliced back identically
+    on the next step. The megakernel is TPU-only, so it's replaced by a
+    traceable, differentiable stand-in whose cache plane counts how many
+    times it round-tripped (the real kernel's cache semantics are pinned
+    in test_megakernel.py::test_sky_cache_threading_bit_identical)."""
+    from ray_tracing_tpu.diff.inverse import extract_params
+    from ray_tracing_tpu.kernels import megakernel as mk
+
+    W, H = 16, 16
+    n_tiles, n_samples = 4, 2
+    local_h = H // n_tiles
+
+    def fake_render_image_pallas(scene, camera, width, height, seed, spp=1,
+                                 config=None, cubemap=None, row0=0,
+                                 norm_height=None, aspect=None,
+                                 interpret=False, sky_cache=None,
+                                 return_sky_cache=False):
+        # differentiable in scene params; per-device cache marker plane
+        img = jnp.broadcast_to(
+            jnp.mean(scene.p0) / 10.0, (height, width, 3)
+        ).astype(jnp.float32)
+        prev = sky_cache[0] if sky_cache is not None else jnp.zeros(
+            (height, width), jnp.int32
+        )
+        cache = (prev + 1,)
+        return (img, cache) if return_sky_cache else img
+
+    monkeypatch.setattr(mk, "render_image_pallas", fake_render_image_pallas)
+
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3),
+    ])
+    mesh = make_mesh(n_tiles, n_samples)
+    params = {"scene": extract_params(scene, ("p0",)), "camera": {}}
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    step = make_train_step(scene, Camera.default(), mesh, opt, W, H,
+                           spp=2 * n_samples, config=CFG, cubemap=SKY,
+                           kernel="pallas", sky_cache_mode=True)
+
+    params, opt_state, loss, cache = step(params, opt_state, target,
+                                          jax.random.key(0))
+    assert jnp.isfinite(loss)
+    # stacked over both axes: (n_tiles * n_samples * local_h, W)
+    assert cache[0].shape == (n_tiles * n_samples * local_h, W)
+    assert int(cache[0].min()) == 1 and int(cache[0].max()) == 1
+
+    # threading: every device receives ITS OWN cache back (marker -> 2)
+    params, opt_state, loss, cache = step(params, opt_state, target,
+                                          jax.random.key(1), cache)
+    assert int(cache[0].min()) == 2 and int(cache[0].max()) == 2
+
+    # reseed: None seeds fresh (marker back to 1)
+    params, opt_state, loss, cache = step(params, opt_state, target,
+                                          jax.random.key(2), None)
+    assert int(cache[0].max()) == 1
+
+    # params actually moved (gradients flowed through the stand-in)
+    assert not np.allclose(np.asarray(params["scene"]["p0"]),
+                           np.asarray(scene.p0))
+
+    # default mode unchanged: 3-tuple, no cache anywhere
+    step3 = make_train_step(scene, Camera.default(), mesh, opt, W, H,
+                            spp=2 * n_samples, config=CFG, cubemap=SKY,
+                            kernel="pallas")
+    out = step3(params, opt_state, target, jax.random.key(3))
+    assert len(out) == 3
