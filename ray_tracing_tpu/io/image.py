@@ -43,13 +43,66 @@ def load_image(path) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
-def load_cubemap(asset_root: str | os.PathLike = REFERENCE_ASSETS) -> CubemapData:
-    """Load the 6-face skybox in reference face order (src/main.c:500-508)."""
+def load_cubemap(
+    asset_root: str | os.PathLike = REFERENCE_ASSETS,
+    use_cache: bool = True,
+) -> CubemapData:
+    """Load the 6-face skybox in reference face order (src/main.c:500-508).
+
+    Decoding six 2048^2 JPEGs costs ~6 s of single-core CPU, and every
+    benchmark/test/app process pays it at startup — so the packed uint32
+    result is memoized under /tmp keyed on the files' identity
+    (path, mtime, size). Corrupt or stale cache entries fall back to a
+    fresh decode."""
     root = pathlib.Path(asset_root)
-    faces = [None] * 6
-    for face, rel in SKYBOX_FILES.items():
-        faces[face] = load_image(root / rel)
-    return CubemapData.from_faces(np.stack(faces))
+    paths = [root / SKYBOX_FILES[face] for face in range(6)]
+
+    cache = None
+    if use_cache:
+        import hashlib
+
+        try:
+            ident = "".join(
+                f"{p}:{p.stat().st_mtime_ns}:{p.stat().st_size};"
+                for p in paths
+            )
+        except OSError:
+            ident = None  # let load_image raise its own error below
+        if ident is not None:
+            key = hashlib.sha1(ident.encode()).hexdigest()[:16]
+            cache = (
+                pathlib.Path(f"/tmp/rtt_skybox_{os.getuid()}") / f"{key}.npz"
+            )
+            if cache.exists():
+                try:
+                    with np.load(cache) as z:
+                        packed = z["packed"]
+                        h, w = int(z["h"]), int(z["w"])
+                    if packed.dtype == np.uint32 and packed.size == 6 * h * w:
+                        import jax.numpy as jnp
+
+                        return CubemapData(
+                            packed=jnp.asarray(packed), r=None, g=None,
+                            b=None, h=h, w=w,
+                        )
+                except Exception:
+                    pass  # fall through to the decode
+
+    faces = [load_image(p) for p in paths]
+    cm = CubemapData.from_faces(np.stack(faces))
+    if cache is not None and cm.packed is not None:
+        try:
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cache.with_suffix(f".{os.getpid()}.tmp")
+            with open(tmp, "wb") as f:  # file object: savez must not
+                # append .npz to the temp name, os.replace needs it exact
+                np.savez(f, packed=np.asarray(cm.packed),
+                         h=np.int64(cm.h), w=np.int64(cm.w))
+            os.replace(tmp, cache)  # atomic: concurrent loaders see
+            # either the old state or a complete file
+        except Exception:
+            pass  # caching is best-effort
+    return cm
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
