@@ -158,6 +158,8 @@ def render_image_sharded(
     config: RenderConfig = DEFAULT_CONFIG,
     cubemap: CubemapData | None = None,
     kernel: str = "auto",
+    sky_cache=None,
+    return_sky_cache: bool = False,
 ):
     """Full-frame render sharded over (tile, sample). Returns (H, W, 3)
     with rows sharded over the tile axis.
@@ -169,6 +171,12 @@ def render_image_sharded(
     Requires height % n_tiles == 0 and spp % n_samples == 0 (pad upstream —
     unlike the reference, which silently never renders the rightmost
     column remainder, src/main.c:363).
+
+    sky_cache / return_sky_cache: per-device sparse sky cache threading
+    for fixed-camera frame loops (megakernel semantics — exact for any
+    cache state). The returned cache stacks each device's planes over
+    BOTH mesh axes; feed it back to the next same-shaped call. Pallas
+    kernels only (None otherwise).
     """
     n_tiles = mesh.shape[TILE_AXIS]
     n_samples = mesh.shape[SAMPLE_AXIS]
@@ -180,28 +188,37 @@ def render_image_sharded(
         raise ValueError(f"spp {spp} not divisible by sample axis {n_samples}")
 
     fn = _sharded_render_fn(
-        mesh, width, height, spp, config, resolve_kernel(kernel, mesh)
+        mesh, width, height, spp, config, resolve_kernel(kernel, mesh),
+        return_sky_cache, sky_cache is not None,
     )
+    if sky_cache is not None:
+        return fn(scene, camera, key, cubemap, sky_cache)
     return fn(scene, camera, key, cubemap)
 
 
 @lru_cache(maxsize=32)
-def _sharded_render_fn(mesh, width, height, spp, config, kernel):
+def _sharded_render_fn(mesh, width, height, spp, config, kernel,
+                       return_sky_cache=False, with_cache=False):
     """Cached jitted shard_map wrapper, keyed on the static render shape.
     Without the cache every eager render_image_sharded call built a fresh
     callable, so JAX's trace/compile caches (keyed on callable identity)
     never hit and a frame-loop caller paid a full retrace per frame; the
     cubemap rides as a traced argument for the same reason."""
+    cache_spec = P((TILE_AXIS, SAMPLE_AXIS), None)
 
-    def local(scene, camera, key, cubemap):
+    def local(scene, camera, key, cubemap, sky_cache=None):
         return _local_tile_render(
-            scene, camera, key, width, height, spp, config, cubemap, kernel
+            scene, camera, key, width, height, spp, config, cubemap, kernel,
+            sky_cache=sky_cache, return_sky_cache=return_sky_cache,
         )
 
     return jax.jit(jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),       # all replicated
-        out_specs=P(TILE_AXIS, None, None),  # rows sharded over tiles
+        in_specs=(P(), P(), P(), P())        # all replicated ...
+        + ((cache_spec,) if with_cache else ()),  # ... cache per-device
+        out_specs=(P(TILE_AXIS, None, None), cache_spec)
+        if return_sky_cache
+        else P(TILE_AXIS, None, None),       # rows sharded over tiles
         check_vma=False,
     ))

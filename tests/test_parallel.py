@@ -369,3 +369,46 @@ def test_train_step_sky_cache_mode_threads_per_device_cache(monkeypatch):
                             kernel="pallas")
     out = step3(params, opt_state, target, jax.random.key(3))
     assert len(out) == 3
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RTT_SLOW") != "1",
+    reason="Pallas interpreter compiles are minutes-slow on CPU; RTT_SLOW=1",
+)
+def test_sharded_sky_cache_threading_bit_identical():
+    """render_image_sharded's sky-cache threading, END-TO-END through the
+    interpret kernel on the 4x2 CPU mesh: a frame fed the previous
+    frame's per-device cache must be bit-identical to the same frame
+    without one, and the plain call (no cache args) must be unchanged."""
+    from ray_tracing_tpu.ops.cubemap import checker_sky
+
+    cfg = RenderConfig(bounces=2, shadow_samples=1)
+    sky = checker_sky(16)  # packed uint32: the sparse machinery is live
+    scene = Scene.from_objects([
+        ObjectSpec(kind="sphere", p0=(3.0, 3.0, 3.0), p1=(1.0,) * 3,
+                   emission_power=1.5),
+        ObjectSpec(kind="cube", p0=(-2.0, -0.5, -2.0), p1=(8.0, 0.4, 8.0)),
+    ])
+    cam = Camera.default()
+    mesh = make_mesh(4, 2)
+    W, H, spp = 64, 32, 4
+    key = jax.random.key(5)
+
+    plain = np.asarray(render_image_sharded(
+        scene, cam, W, H, key, mesh, spp=spp, config=cfg, cubemap=sky,
+        kernel="pallas_interpret"))
+    img0, cache = render_image_sharded(
+        scene, cam, W, H, key, mesh, spp=spp, config=cfg, cubemap=sky,
+        kernel="pallas_interpret", return_sky_cache=True)
+    np.testing.assert_array_equal(plain, np.asarray(img0))
+    assert cache is not None
+    # per-device planes stacked over BOTH axes: 4*2 devices x 8 local rows
+    # padded to the kernel tile height
+    assert cache[0].shape[0] % (4 * 2) == 0
+
+    img1, cache1 = render_image_sharded(
+        scene, cam, W, H, key, mesh, spp=spp, config=cfg, cubemap=sky,
+        kernel="pallas_interpret", sky_cache=cache, return_sky_cache=True)
+    np.testing.assert_array_equal(plain, np.asarray(img1))
+    for a, b in zip(cache, cache1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
