@@ -22,8 +22,7 @@ import numpy as np
 
 from ray_tracing_tpu.config import RenderConfig
 from ray_tracing_tpu.render import camera as cam_mod
-from ray_tracing_tpu.render.camera import Camera
-from ray_tracing_tpu.render.film import Film, progressive_scales, render_pass
+from ray_tracing_tpu.render.film import Film, progressive_scales
 from ray_tracing_tpu.io.image import screenshot
 
 # Event ids (analogous to src/gpu_and_windowing.h:18-33)

@@ -12,7 +12,6 @@ pass by XLA's scheduler (latency-hiding collectives).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
