@@ -692,7 +692,10 @@ def _trace_shadow_occlusion_scan(scene, ro: Vec3, rd: Vec3, li: int):
         strict = i > li  # scalar: broadcasts over the masks
         occ_sph = (strict & sph_strict) | (~strict & sph_ns)
         occ_cub = (strict & (t_c < t_e)) | (~strict & (t_c <= t_e))
-        occ_i = jnp.where(is_sph, occ_sph, occ_cub) & (i != li)
+        # and/or blend, NOT jnp.where: a select with i1 (bool) value
+        # operands is 'arith.select' on vector<i1>, which Mosaic fails to
+        # legalize on real TPU (interpret mode accepts it — caught on hw)
+        occ_i = ((is_sph & occ_sph) | (~is_sph & occ_cub)) & (i != li)
         # float 0/1 carry: Mosaic cannot carry bool arrays through fori
         return jnp.maximum(occ, occ_i.astype(occ.dtype))
 

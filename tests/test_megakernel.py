@@ -97,7 +97,8 @@ def test_pallas_vjp_matches_xla_autodiff():
                    metallic=1.0, roughness=0.0),
     ])
     W, H = 128, 64
-    meta = (s.obj_type, s.light_index, cfg, W, H, H, 16, 128)
+    meta = (s.obj_type, s.light_index, cfg, W, H, H, 16, 128,
+            getattr(s, "emissive", None))
     packed = mk.pack_scene(s)
     cam_pack = mk._camera_pack(cam, W / H, cfg)
 
@@ -200,7 +201,8 @@ def test_bwd_primal_streams_bit_identical():
     s = parse_scene_file("/root/reference/scene_0.txt")
     W, H = 512, 256
     th, tw = mk.DEFAULT_TILE_H, mk.DEFAULT_TILE_W
-    meta = (s.obj_type, s.light_index, cfg, W, H, H, th, tw)
+    meta = (s.obj_type, s.light_index, cfg, W, H, H, th, tw,
+            getattr(s, "emissive", None))
 
     out_fwd = mk._run_fwd(
         mk.pack_scene(s), mk._camera_pack(cam, W / H, cfg),
