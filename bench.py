@@ -33,12 +33,9 @@ fetch overheads all cancel out of the reported number.
 import json
 import os
 
-# per-uid path, same as ray_tracing_tpu/__init__.py (a shared /tmp dir
-# breaks multi-user hosts: first owner wins, everyone else gets EACCES)
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_cache_rtt_{os.getuid()}"
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# compile cache: configured by ray_tracing_tpu/__init__.py (per-uid AND
+# per-host-fingerprint path — cross-machine AOT reuse SIGILLs); the package
+# applies it via jax.config even though jax is imported first here.
 
 import subprocess
 import sys
@@ -108,11 +105,17 @@ def main():
     from ray_tracing_tpu.ops.cubemap import constant_sky
     from ray_tracing_tpu.scene.parser import parse_scene_file
 
+    from ray_tracing_tpu.kernels.megakernel import effective_bwd_mode
+
     scene = parse_scene_file("/root/reference/scene_2.txt")
     camera = Camera.default()
     config = RenderConfig()  # full reference physics: 10 bounces, 3 shadow rays
     skybox = load_cubemap()  # the real 2048^2 cubemap — the reference workload
     const = constant_sky((0.6, 0.7, 0.9))
+    # the backward mode that will actually EXECUTE at this resolution/spp
+    # (fetch silently falls back to replay past the HBM record budget — a
+    # flip must be visible in the artifact, not inferred)
+    bwd_mode = effective_bwd_mode(scene, config, WIDTH, HEIGHT, SPP_BWD)
     traces_per_sample = config.bounces * (1 + config.shadow_samples)
     rays_fwd = WIDTH * HEIGHT * traces_per_sample
 
@@ -156,8 +159,11 @@ def main():
 
     # ---- MFU vs the measured VPU FMA peak (benchmarks/mfu.py is the full
     # report; this inlines its cost model so the headline carries its own
-    # roofline). Never let MFU accounting break the headline measurement.
-    mfu = ""
+    # roofline). Never let MFU accounting break the headline measurement —
+    # but ALWAYS say what happened: the metric string carries either the
+    # MFU segment or an explicit "MFU n/a: <reason>" so driver artifacts
+    # are self-explaining (a silent omission is indistinguishable from a
+    # broken roofline; VERDICT r03 weak #2).
     try:
         import contextlib
 
@@ -169,7 +175,7 @@ def main():
             cpu = contextlib.nullcontext()
         with cpu:
             phys = F.physics_cost_per_pixel(scene, config)
-            if config.bwd_mode == "fetch":
+            if bwd_mode == "fetch":
                 bwd_vpu = max(
                     0.0,
                     F.fetch_vjp_cost_per_pixel(scene, config)["flops_per_px"]
@@ -183,8 +189,14 @@ def main():
             config, scene.has_light
         )
         fwdbwd_flops = rec_passes * fwd_flops + bwd_vpu
-        pk = F.measured_vpu_peak()
-        if 1.6 <= pk["ratio"] <= 2.5:  # iters-doubling self-check
+        # the peak microbenchmark's iters-doubling self-check can be tripped
+        # by one tunnel noise spike — retry before declaring it unusable
+        pk = None
+        for _ in range(3):
+            pk = F.measured_vpu_peak()
+            if 1.6 <= pk["ratio"] <= 2.5:
+                break
+        if 1.6 <= pk["ratio"] <= 2.5:
             px = WIDTH * HEIGHT
             peak = pk["flops_per_s"]
             tf_fwd = fwd_flops * px / t_const / 1e12
@@ -195,7 +207,14 @@ def main():
                 % (peak / 1e12, tf_fwd, 100 * tf_fwd * 1e12 / peak,
                    tf_bwd, 100 * tf_bwd * 1e12 / peak)
             )
+        else:
+            mfu = (
+                "; MFU n/a: VPU-peak iters-doubling self-check failed"
+                " (t2N/tN=%.2f after 3 tries; peak not trustworthy)"
+                % pk["ratio"]
+            )
     except Exception as e:  # pragma: no cover - diagnostics only
+        mfu = ("; MFU n/a: %s: %s" % (type(e).__name__, e))[:220]
         print(f"MFU accounting skipped: {e}", file=sys.stderr)
 
     print(
@@ -203,8 +222,8 @@ def main():
             {
                 "metric": (
                     "Mrays/s/chip fwd+bwd scene_2 1920x1080 + 2048^2 skybox "
-                    "(fwd-only %.0f; const-sky fwd %.0f%s)"
-                    % (sky_fwd, const_fwd, mfu)
+                    "(bwd_mode=%s; fwd-only %.0f; const-sky fwd %.0f%s)"
+                    % (bwd_mode, sky_fwd, const_fwd, mfu)
                 ),
                 "value": round(sky_bwd, 1),
                 "unit": "Mrays/s",

