@@ -7,12 +7,15 @@ MXU TFLOP/s, which only matmuls can reach.
 
 Three instruments, all reported by benchmarks/mfu.py:
 
-* `physics_cost_per_pixel` — XLA's own cost analysis of `tile_physics`
+* `physics_cost_per_pixel` — a jaxpr-level census of `tile_physics`
   (kernels/megakernel.py), the exact jnp graph both the forward and
   backward kernels execute, per pixel-sample. This is a *counted* number
-  (optimized-HLO flops from `Compiled.cost_analysis()`), not a hand
-  estimate; transcendentals (sqrt/rsqrt of normalize) are reported
+  (every primitive of the traced graph at XLA's per-op prices), not a
+  hand estimate; transcendentals (sqrt/rsqrt of normalize) are reported
   separately because the VPU retires them at a fraction of FMA rate.
+  (Rounds 1-3 used `Compiled.cost_analysis()` on an XLA:CPU build of the
+  same graph — over-counted ~12x by CPU fusion duplication; see the
+  census comment below.)
 * `prng_flops_per_pixel` — analytic count of the draw-generation work the
   kernel does with `pltpu.prng_random_bits` (not visible to XLA because
   the cost model sees draws as inputs). Small; documented, not dominant.
@@ -37,6 +40,116 @@ import numpy as np
 
 from ray_tracing_tpu.config import RenderConfig
 from ray_tracing_tpu.ops.vec import Vec3
+
+
+# ---------------------------------------------------------------------------
+# Jaxpr-level flop census
+# ---------------------------------------------------------------------------
+#
+# Round-4 finding: XLA:CPU's `Compiled.cost_analysis()` over-counts this
+# workload ~12x. Its fusion pipeline freely DUPLICATES cheap producers into
+# every consumer fusion (the optimized HLO of tile_physics at 10 bounces
+# carries ~4,200 fusion-internal (8,128) parameters and ~39k arithmetic
+# ops/px where the traced graph has ~3k), so "optimized-HLO flops" measures
+# the CPU backend's rematerialization appetite, not the mathematical work
+# the Mosaic-lowered kernel executes. The census below walks the JAXPR —
+# backend-independent, duplication-free — with XLA's per-op prices
+# (fma=mul+add=2, select=2, div=1, sqrt=1 flop + 1 transcendental,
+# dot=2*M*N*K at one pass).
+
+_FLOPS_1 = {
+    "add", "sub", "mul", "div", "rem", "max", "min", "neg", "abs", "sign",
+    "floor", "ceil", "round", "and", "or", "xor", "not", "eq", "ne", "lt",
+    "le", "gt", "ge", "is_finite", "nextafter", "square",
+}
+_TRANSC = {
+    "sqrt", "rsqrt", "exp", "exp2", "log", "log1p", "expm1", "sin", "cos",
+    "tan", "asin", "acos", "atan", "atan2", "sinh", "cosh", "tanh",
+    "logistic", "erf", "erfc", "erf_inv", "pow", "cbrt",
+}
+_REDUCES = {
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_prod", "reduce_and",
+    "reduce_or", "argmax", "argmin", "cumsum", "cummax", "cummin",
+    "cumprod", "reduce_precision",
+}
+
+
+def _aval_size(v) -> int:
+    size = 1
+    for d in getattr(v.aval, "shape", ()):
+        size *= int(d)
+    return size
+
+
+def _dot_flops(eqn) -> float:
+    (lc, _), (lb, _) = eqn.params["dimension_numbers"]
+    lhs = eqn.invars[0].aval.shape
+    k = 1
+    for d in lc:
+        k *= int(lhs[d])
+    batch = 1
+    for d in lb:
+        batch *= int(lhs[d])
+    out = _aval_size(eqn.outvars[0])
+    return 2.0 * out * k  # out already includes batch dims
+
+
+def _inner_jaxprs(eqn):
+    """Sub-jaxprs of a higher-order eqn, with a repeat count."""
+    p = eqn.params
+    name = eqn.primitive.name
+    if name == "scan":
+        return [(p["jaxpr"], int(p["length"]))]
+    if name == "while":
+        return [(p["cond_jaxpr"], 1), (p["body_jaxpr"], 1)]  # ≥1 trip
+    if name == "cond":
+        return [(b, 1) for b in p["branches"]]  # upper bound: all branches
+    for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+        if key in p:
+            return [(p[key], 1)]
+    return []
+
+
+def _jaxpr_cost(jaxpr) -> tuple[float, float]:
+    """(flops, transcendentals) of a (Closed)Jaxpr, recursively."""
+    if hasattr(jaxpr, "jaxpr"):
+        jaxpr = jaxpr.jaxpr
+    flops = 0.0
+    transc = 0.0
+    for eqn in jaxpr.eqns:
+        inner = _inner_jaxprs(eqn)
+        if inner:
+            for sub, n in inner:
+                f, t = _jaxpr_cost(sub)
+                flops += n * f
+                transc += n * t
+            continue
+        name = eqn.primitive.name
+        if name == "dot_general":
+            flops += _dot_flops(eqn)
+        elif name in _FLOPS_1:
+            flops += _aval_size(eqn.outvars[0])
+        elif name in ("select_n", "clamp"):
+            flops += 2 * _aval_size(eqn.outvars[0])
+        elif name in _TRANSC:
+            n = _aval_size(eqn.outvars[0])
+            flops += n
+            transc += n
+        elif name == "integer_pow":
+            y = abs(int(eqn.params["y"]))
+            mults = max(y.bit_length() + bin(y).count("1") - 2, 1) if y > 1 else 1
+            flops += mults * _aval_size(eqn.outvars[0])
+        elif name in _REDUCES:
+            flops += _aval_size(eqn.invars[0])
+        # everything else (broadcast/reshape/convert/slice/concat/iota/
+        # transpose/gather/scatter/dynamic_slice/bitcast/...) is layout or
+        # memory movement: 0 flops, matching XLA's pricing.
+    return flops, transc
+
+
+def _traced_cost(fn, *args) -> dict:
+    f, t = _jaxpr_cost(jax.make_jaxpr(fn)(*args))
+    return {"flops": f, "transcendentals": t}
 
 
 class _FixedDraws:
@@ -89,15 +202,11 @@ def _physics_cost_cached(obj_type, light_index, emissive, config, tile):
 
     rows = jnp.zeros((n, 16), jnp.float32)
     cam = jnp.zeros((16,), jnp.float32)
-    compiled = jax.jit(f).lower(rows, cam).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
-        cost = cost[0]
+    cost = _traced_cost(f, rows, cam)
     px = th * tw
     return {
-        "flops_per_px": float(cost.get("flops", 0.0)) / px,
-        "transcendentals_per_px": float(cost.get("transcendentals", 0.0)) / px,
-        "bytes_per_px": float(cost.get("bytes accessed", 0.0)) / px,
+        "flops_per_px": cost["flops"] / px,
+        "transcendentals_per_px": cost["transcendentals"] / px,
     }
 
 
@@ -134,12 +243,18 @@ def prng_flops_per_pixel(config: RenderConfig, has_light: bool) -> float:
 # One (8,128) f32 vreg-shaped block per chain: 8 chains fit the vector
 # register file, so the fori body is pure ALU work with no VMEM streaming
 # (a 256x256 block would round-trip VMEM every iteration and measure
-# bandwidth, not the ALUs).
+# bandwidth, not the ALUs). The body is UNROLLED 64x inside the fori loop:
+# the scalar loop (counter + compare + branch) otherwise rate-limits the
+# vector pipe — measured on v5e, unroll 1 -> 64 raises the observed peak
+# 3.1 -> 7.1 TFLOP/s (chains swept 4..32: 8 is best once unrolled; more
+# chains spill vregs, fewer starve the FMA latency).
 _PEAK_TILE = (8, 128)
 _PEAK_CHAINS = 8
+_PEAK_UNROLL = 64
 
 
 def _peak_kernel(a_ref, o_ref, *, iters):
+    assert iters % _PEAK_UNROLL == 0, (iters, _PEAK_UNROLL)
     a = a_ref[...]
     accs = [a + 0.01 * k for k in range(_PEAK_CHAINS)]
 
@@ -148,30 +263,46 @@ def _peak_kernel(a_ref, o_ref, *, iters):
         # Quadratic in the carry and per-ELEMENT in `a` (a traced input
         # block, distinct per grid step), so neither constant folding nor
         # the affine strength-reduction that defeated an earlier x*c+k
-        # version of this kernel can collapse the loop.
-        return tuple(x * x + a for x in accs)
+        # version of this kernel can collapse the loop. _PEAK_UNROLL fma
+        # steps per trip keep the scalar loop off the critical path.
+        for _ in range(_PEAK_UNROLL):
+            accs = tuple(x * x + a for x in accs)
+        return accs
 
-    accs = jax.lax.fori_loop(0, iters, body, tuple(accs))
+    accs = jax.lax.fori_loop(0, iters // _PEAK_UNROLL, body, tuple(accs))
     out = accs[0]
     for x in accs[1:]:
         out = out + x
     o_ref[...] = out
 
 
-def measured_vpu_peak(grid: int = 512, iters: int = 256) -> dict:
+def measured_vpu_peak(grid: int = 512, iters: int = 16384) -> dict:
     """Achieved f32 FLOP/s of pure FMA chains on this chip's VPU.
 
-    Double-marginal methodology (utils/timing.py): per-call time is the
-    difference between a 2-call and a 1-call window with distinct inputs
-    and host materialization (immune to client-side result caching, to a
+    Double-marginal methodology (utils/timing.py): per-call time is a
+    window difference with distinct inputs and last-output host
+    materialization (immune to client-side result caching, to a
     non-blocking block_until_ready, and to fixed dispatch/fetch costs);
     per-ITERATION time is the difference between an `iters` and a
     `2*iters` kernel, cancelling pipeline/grid overhead inside the call.
 
-    Returns {"flops_per_s", "ratio"}: ratio = t(2N)/t(N) per call, which
-    must be ~2.0 — a ratio near 1.0 means the loop was folded away or the
-    measurement never saw the execution, and the result must not be
-    trusted (the caller should raise)."""
+    Returns {"flops_per_s", "ratio"}: ratio is the SECOND difference
+    (t(4N)-t(2N)) / (t(2N)-t(N)), which must be ~2.0 — iters-doubling
+    must double the marginal device time. A raw t(2N)/t(N) quotient was
+    the round-3 check, but any additive per-call constant the window
+    difference fails to cancel (the axon tunnel's dispatch floor is
+    ~40 ms, 50x this kernel's device time at the old iters=256) drags it
+    to ~1 even when the marginal is perfectly clean; the second
+    difference cancels ANY additive constant by construction. A ratio
+    far from 2 means the loop was folded away, the marginals drowned in
+    noise, or the measurement never saw the execution — the result must
+    not be trusted (the caller should gate on it).
+
+    Default iters: the tunnel also rate-limits DISPATCH at ~25 ms/call
+    (measured round 4), a floor even the window difference cannot remove
+    — it is real steady-state cost. iters=16384 puts all three kernel
+    sizes (N, 2N, 4N -> ~45/90/180 ms device) safely above that floor so
+    the marginals are device-bound."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -211,22 +342,22 @@ def measured_vpu_peak(grid: int = 512, iters: int = 256) -> dict:
         a = base * (1.0 + 1e-6 * i)
         return (jax.block_until_ready(a),)
 
-    run_s, run_b = build(iters), build(2 * iters)
-    jax.block_until_ready(run_s(*make_args(-1)))  # compile
-    jax.block_until_ready(run_b(*make_args(-2)))
-    t_s = timed_marginal(run_s, make_args, repeats=3)
-    t_b = timed_marginal(run_b, make_args, repeats=3)
+    runs = [build(m * iters) for m in (1, 2, 4)]
+    for q, r in enumerate(runs):
+        jax.block_until_ready(r(*make_args(-1 - q)))  # compile
+    t_1, t_2, t_4 = (timed_marginal(r, make_args, repeats=3) for r in runs)
 
     elems = grid * th * tw
     marginal_flops = 2.0 * _PEAK_CHAINS * elems * iters  # (2N - N) iters
     return {
-        "flops_per_s": marginal_flops / max(t_b - t_s, 1e-12),
-        "ratio": t_b / max(t_s, 1e-12),
+        "flops_per_s": marginal_flops / max(t_2 - t_1, 1e-12),
+        # second difference: doubling iters must double the marginal
+        "ratio": (t_4 - t_2) / max(t_2 - t_1, 1e-12),
     }
 
 
 def replay_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
-    """XLA-counted cost of the path-replay backward's differentiable part:
+    """Jaxpr-census cost of the path-replay backward's differentiable part:
     jax.vjp of tile_physics-with-ReplayTracer (forward replay + reverse
     sweep in one graph — what _bwd_kernel_replay executes after its
     recording pass). Per pixel. The recording pass itself costs
@@ -285,19 +416,16 @@ def replay_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
         _, vjpf = jax.vjp(g, records, cam_arr, light_geom)
         return vjpf(cots)
 
-    compiled = jax.jit(h).lower(records, cam, light_geom, cots).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
+    cost = _traced_cost(h, records, cam, light_geom, cots)
     px = th * tw
     return {
-        "flops_per_px": float(cost.get("flops", 0.0)) / px,
-        "transcendentals_per_px": float(cost.get("transcendentals", 0.0)) / px,
+        "flops_per_px": cost["flops"] / px,
+        "transcendentals_per_px": cost["transcendentals"] / px,
     }
 
 
 def fetch_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
-    """XLA-counted cost of the FETCH backward's differentiable part:
+    """Jaxpr-census cost of the FETCH backward's differentiable part:
     jax.vjp of tile_physics-with-FetchReplayTracer — what _bwd_kernel_fetch
     executes. Unlike the replay backward there is NO recording pass (the
     winner-index planes are residuals persisted by the forward kernel), so
@@ -349,14 +477,11 @@ def fetch_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
         _, vjpf = jax.vjp(g, rows, cam_arr)
         return vjpf(cots)
 
-    compiled = jax.jit(h).lower(rows, cam, cots).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
+    cost = _traced_cost(h, rows, cam, cots)
     px = th * tw
     return {
-        "flops_per_px": float(cost.get("flops", 0.0)) / px,
-        "transcendentals_per_px": float(cost.get("transcendentals", 0.0)) / px,
+        "flops_per_px": cost["flops"] / px,
+        "transcendentals_per_px": cost["transcendentals"] / px,
     }
 
 

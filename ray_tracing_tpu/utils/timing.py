@@ -1,32 +1,43 @@
 """Tunnel-robust device timing.
 
-Two failure modes were observed on the axon TPU tunnel that make naive
-`block_until_ready`-bracketed timing untrustworthy for MICRO-benchmarks
-(they were never observed on the real render workloads, whose timings
-match value-materialized measurements — but a methodology that cannot be
-fooled beats one that happens not to be):
+Three failure modes were observed on the axon TPU tunnel that make naive
+`block_until_ready`-bracketed timing untrustworthy:
 
   * sub-dispatch wall times (<1 ms over a ~40 ms-dispatch tunnel) on
     repeated identical zero-input calls — consistent with client-side
-    result caching of an (executable, args) pair;
+    result caching of an (executable, args) pair (round 3);
   * `block_until_ready` returning before a freshly dispatched execution
     is finished, with the truth only surfacing when the value is
-    materialized on the host.
+    materialized on the host (round 3);
+  * device->host fetches costing ~29 ms EACH over the tunnel (round 4):
+    materializing every call's outputs adds (n_calls x n_leaves) fetches
+    to a window, a cost that GROWS with window size and therefore does
+    NOT cancel out of a window difference. This inflated every round-3
+    driver backward number by ~30 ms/sample (a Scene gradient has 8
+    leaves; the forward's single scalar hid it) — the entire "2x bwd
+    regression" of BENCH_r03 was this artifact (BENCH_NOTES round 4).
 
-`timed_marginal` is immune to both and to any fixed per-measurement
+`timed_marginal` is immune to all three and to any fixed per-measurement
 overhead (dispatch RPCs, device->host fetch latency):
 
   1. every call gets DISTINCT arguments (a seed-like argument is varied),
      so client-side caching of identical requests can never short-circuit
      an execution;
-  2. every timing window ends by MATERIALIZING each result on the host
-     (tiny transfers only: one scalar per output leaf), so the window
-     provably contains the execution;
+  2. every timing window ends by MATERIALIZING the LAST call's outputs on
+     the host (one tiny transfer per output leaf). A TPU core executes
+     enqueued programs in order on a single stream, and distinct inputs
+     make every call a real execution — so the last call's value being on
+     the host proves every earlier call in the window also ran. Exactly
+     ONE materialization per window, REGARDLESS of window size, keeps the
+     fetch cost constant across windows so it cancels in the difference;
   3. the reported time is the DIFFERENCE between a (k1+k)-call window and
      a k1-call window, so dispatch/fetch/sync overheads — however large —
-     cancel exactly and only per-call device time remains.
+     cancel exactly and only per-call device time remains. (If the host
+     cannot DISPATCH as fast as the device executes, the difference
+     honestly reports the dispatch-rate bound instead — that is the
+     achievable steady-state throughput on this host.)
 
-Used by bench.py, benchmarks/mfu.py and the VPU-peak microbenchmark
+Used by bench.py, benchmarks/* and the VPU-peak microbenchmark
 (utils/flops.py). The reference has no analogue (it times wall-clock
 around pthread joins, src/main.c:274-414); this exists because a remote
 TPU tunnel sits between the host clock and the chip.
@@ -54,7 +65,7 @@ def materialize(out) -> float:
     return total
 
 
-def timed_marginal(fn, make_args, *, k: int = 1, k1: int = 1, repeats: int = 2):
+def timed_marginal(fn, make_args, *, k: int = 4, k1: int = 1, repeats: int = 2):
     """Marginal per-call wall time of `fn`.
 
     make_args(i) -> argument tuple for the i-th call; MUST vary with i
@@ -62,7 +73,8 @@ def timed_marginal(fn, make_args, *, k: int = 1, k1: int = 1, repeats: int = 2):
     warmed by the caller (call once with make_args(-1) first).
 
     Measures a window of k1 calls and a window of k1+k calls (all calls
-    dispatched back-to-back, then every result materialized) and returns
+    dispatched back-to-back, then the LAST result materialized — one
+    fetch per window, see module docstring) and returns
     (t_{k1+k} - t_{k1}) / k — fixed overheads cancel. min over `repeats`
     trials (min, not mean: tunnel noise is strictly additive).
     """
@@ -77,8 +89,10 @@ def timed_marginal(fn, make_args, *, k: int = 1, k1: int = 1, repeats: int = 2):
         outs = [fn(*a) for a in args]
         for o in outs:
             jax.block_until_ready(o)
-        for o in outs:
-            materialize(o)
+        # ONE materialization per window (constant across window sizes, so
+        # it cancels in the difference): the last call's outputs prove the
+        # whole in-order window executed.
+        materialize(outs[-1])
         return time.perf_counter() - t0
 
     # min per window size across repeats, THEN difference: tunnel noise is
