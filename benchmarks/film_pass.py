@@ -65,17 +65,21 @@ def main():
 
     def window(thread_cache: bool, n_passes: int, seed0: int) -> float:
         """Wall time of n_passes viewer-like passes: distinct seeds per
-        pass, host materialization per pass (CLAUDE.md timing rules —
-        the tunnel caches identical requests)."""
+        pass, LAST pass materialized (CLAUDE.md timing rules — a per-pass
+        device_get costs ~29 ms over the tunnel and scales with window
+        size, so it would NOT cancel in the marginal; the in-order device
+        stream makes the last value prove the whole window ran)."""
         cache = cache0
         t0 = time.perf_counter()
+        s = None
         for i in range(n_passes):
             seed = jnp.int32(seed0 + i)
             if thread_cache:
                 s, cache = cached(scene, seed, cache)
             else:
                 s, _ = seeded(scene, seed)
-            float(s)
+        jax.block_until_ready(s)
+        float(s)
         return time.perf_counter() - t0
 
     def marginal(thread_cache: bool) -> float:
