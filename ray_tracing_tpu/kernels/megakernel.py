@@ -67,14 +67,24 @@ LANE = 128
 # re-materialize the forward's exact paths if it tiles the image the same
 # way. The shape scales down with scene complexity because the backward's
 # vjp residuals (~ objects x bounces x tile pixels) must fit scoped VMEM
-# (~16MB): scene_2 (3 objects, no NEE) fits 16x256; scene_0 (9 objects +
-# 3 shadow rays) needs 8x256. Measured, not guessed — see CLAUDE.md.
+# (~16MB): scene_2 (3 objects, no NEE) runs 16-row tiles; scene_0 (9
+# objects + 3 shadow rays) needs 8 rows. Measured, not guessed — see
+# default_tiles' docstring for the round-4 sweep numbers.
 DEFAULT_TILE_H = 16
 DEFAULT_TILE_W = 256
 
 
 def default_tiles(scene: Scene, config: RenderConfig):
-    """Complexity-scaled tile shape shared by fwd and bwd kernels."""
+    """Complexity-scaled tile shape shared by fwd and bwd kernels.
+
+    Unrolled-scene tiers re-measured round 4 on the current stack
+    (benchmarks/tile_sweep.py, honest marginal timing): 128-wide tiles
+    beat 256-wide on BOTH reference workloads — scene_2 full physics
+    16x128 vs 16x256: fwd 7.14 vs 7.41, fwd+bwd 17.16 vs 17.77 ms/sample;
+    scene_0 8x128 vs 8x256: fwd 30.7 vs 35.2, fwd+bwd 45.0 vs 52.5
+    (8x512 / 16x256 OOM scene_0's backward). Narrower tiles also lower
+    the backward's VMEM peak. The >UNROLL_LIMIT fori-trace tier keeps its
+    round-2-measured shapes (not re-swept; no reference scene hits it)."""
     if scene.num_objects > UNROLL_LIMIT:
         # fori trace; the path-replay backward stores per-bounce winner
         # records (~bounces x (17 + 5*shadow_samples) planes) in VMEM, so
@@ -87,9 +97,7 @@ def default_tiles(scene: Scene, config: RenderConfig):
         1 + (config.shadow_samples if scene.has_light else 0)
     )
     if eff <= 12:
-        return 16, 256
-    if eff <= 40:
-        return 8, 256
+        return 16, 128
     return 8, 128
 
 # Packed scene layout (one row per object) — Scene.packed_rows():
