@@ -31,7 +31,13 @@ def _host_tag() -> str:
     features; loading them on a different machine risks SIGILL (observed as
     cpu_aot_loader "machine type doesn't match" warnings when /tmp survives
     across machine types between driver runs). Keying the cache path on the
-    CPU fingerprint makes cross-host reuse structurally impossible."""
+    CPU fingerprint makes cross-host reuse structurally impossible.
+
+    NOTE: cpu_aot_loader may STILL warn on same-host cache hits — it
+    compares the compile-time feature list (which includes XLA tuning
+    pseudo-features like +prefer-no-gather) against the host's REAL CPU
+    flags, so the pseudo-features always "mismatch". With a host-keyed
+    cache those warnings are a false positive, not a SIGILL risk."""
     import hashlib
     import platform
 
