@@ -147,11 +147,33 @@ def main():
             return jnp.sum(img)
         return jax.jit(jax.grad(loss))
 
-    # ---- headline: real skybox, fwd+bwd ----
+    # ---- headline: real skybox, fwd+bwd (cold sky cache every call) ----
     t_bwd = timed(bwd_fn(skybox), scene, spp=SPP_BWD)
     sky_bwd = mrays(t_bwd)
     t_fwd = timed(fwd_fn(skybox), scene, spp=SPP_FWD)
     sky_fwd = mrays(t_fwd)
+    # ---- secondary: steady-state TRAINING throughput — fit() threads the
+    # sparse sky cache across steps (diff/inverse sky_cache_mode), so in a
+    # training loop every step after the first skips the ~27 ms cold
+    # seeding gather. Same estimator, same gradients; only the sky-texel
+    # fetch strategy differs (exact by construction).
+    _, cache = render_image_pallas(
+        scene, camera, WIDTH, HEIGHT, 0, spp=2, config=config,
+        cubemap=skybox, return_sky_cache=True,
+    )
+    cache = jax.block_until_ready(cache)
+
+    def bwd_cached(scene, seed):
+        def loss(scene):
+            img = render_image_pallas(
+                scene, camera, WIDTH, HEIGHT, seed, spp=SPP_BWD,
+                config=config, cubemap=skybox, sky_cache=cache,
+            )
+            return jnp.sum(img)
+        return jax.grad(loss)(scene)
+
+    t_bwd_ss = timed(jax.jit(bwd_cached), scene, spp=SPP_BWD)
+    sky_bwd_ss = mrays(t_bwd_ss)
     # ---- secondary: gather-free constant sky (fwd only; its fwd+bwd is
     # measured in BENCH_NOTES.md — one fewer multi-minute compile here) ----
     t_const = timed(fwd_fn(const), scene, spp=SPP_FWD)
@@ -222,8 +244,9 @@ def main():
             {
                 "metric": (
                     "Mrays/s/chip fwd+bwd scene_2 1920x1080 + 2048^2 skybox "
-                    "(bwd_mode=%s; fwd-only %.0f; const-sky fwd %.0f%s)"
-                    % (bwd_mode, sky_fwd, const_fwd, mfu)
+                    "(bwd_mode=%s; steady-state training fwd+bwd %.0f; "
+                    "fwd-only %.0f; const-sky fwd %.0f%s)"
+                    % (bwd_mode, sky_bwd_ss, sky_fwd, const_fwd, mfu)
                 ),
                 "value": round(sky_bwd, 1),
                 "unit": "Mrays/s",

@@ -35,7 +35,7 @@ def summarize(logdir):
         return
     path = planes[-1]
     try:
-        from tensorflow.core.profiler.protobuf import xplane_pb2
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except Exception as e:
         print(f"xplane parser unavailable ({e}); trace left at {path}",
               file=sys.stderr)
