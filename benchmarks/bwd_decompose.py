@@ -10,7 +10,7 @@ of backward time actually goes before optimizing anything:
   grad-const     full grad with a constant sky (no sky gather/scan glue)
   grad           full grad, real skybox (the bench headline)
 
-Usage: python benchmarks/bwd_decompose.py [spp]
+Usage: python benchmarks/bwd_decompose.py [spp] [scene_path] [case ...]
 """
 import sys
 
@@ -30,7 +30,8 @@ WIDTH, HEIGHT = 1920, 1080
 
 def main():
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    scene = parse_scene_file("/root/reference/scene_2.txt")
+    scene_path = sys.argv[2] if len(sys.argv) > 2 else "/root/reference/scene_2.txt"
+    scene = parse_scene_file(scene_path)
     camera = Camera.default()
     config = RenderConfig()
     skybox = load_cubemap()
@@ -51,7 +52,10 @@ def main():
         "grad-const": jax.jit(jax.grad(loss_fn(const))),
         "grad": jax.jit(jax.grad(loss_fn(skybox))),
     }
+    want = set(sys.argv[3:])
     for name, f in cases.items():
+        if want and name not in want:
+            continue
         dt = timed_per_sample(f, scene, n=spp)
         print(f"{name:12s} {dt * 1e3:7.2f} ms/sample  "
               f"{rays / dt / 1e9:6.2f} Grays/s", flush=True)
