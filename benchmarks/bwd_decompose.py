@@ -53,6 +53,11 @@ def main():
         "grad": jax.jit(jax.grad(loss_fn(skybox))),
     }
     want = set(sys.argv[3:])
+    unknown = want - cases.keys()
+    if unknown:
+        # a typo'd case would otherwise skip every case with no output,
+        # silently wasting a TPU tunnel session
+        sys.exit(f"unknown cases: {sorted(unknown)} (have {sorted(cases)})")
     for name, f in cases.items():
         if want and name not in want:
             continue
