@@ -25,8 +25,10 @@ from ray_tracing_tpu.scene.parser import parse_scene_file
 WIDTH, HEIGHT = 1920, 1080
 
 
-def summarize(logdir):
-    """Best-effort xplane -> per-op device-time table."""
+def summarize(logdir, top_n=40):
+    """xplane -> per-op device-time table via the xprof capsule parser
+    (tensorboard_plugin_profile's tensorflow proto import is broken in this
+    image; xprof.convert.raw_to_tool_data wraps the same C++ converter)."""
     planes = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                               recursive=True))
     if not planes:
@@ -35,30 +37,33 @@ def summarize(logdir):
         return
     path = planes[-1]
     try:
-        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+        import json as _json
+
+        from xprof.convert import raw_to_tool_data
+
+        data, _ = raw_to_tool_data.xspace_to_tool_data(
+            [path], "framework_op_stats", {"tqx": "out:json;"}
+        )
+        tbl = _json.loads(data)
+        rows = tbl["table"]["rows"]
+        cols = [c["label"] for c in tbl["table"]["cols"]]
+        i_name = cols.index("Operation")
+        i_self = cols.index("Total self time (us)")
+        i_dev = cols.index("Host/device")
+        dev_rows = [
+            (r["c"][i_self]["v"], r["c"][i_name]["v"])
+            for r in rows
+            if r["c"][i_dev]["v"] == "Device"
+        ]
+        dev_rows.sort(reverse=True)
+        whole = sum(t for t, _ in dev_rows)
+        print(f"== device self-time by op ({path}) ==")
+        print(f"   total device time: {whole / 1e3:.3f} ms")
+        for t, name in dev_rows[:top_n]:
+            print(f"  {t / 1e3:10.3f} ms  {100 * t / whole:5.1f}%  {name[:140]}")
     except Exception as e:
         print(f"xplane parser unavailable ({e}); trace left at {path}",
               file=sys.stderr)
-        return
-    xs = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xs.ParseFromString(f.read())
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "/device" not in plane.name:
-            continue
-        # accumulate event durations by event-metadata name per plane
-        totals = {}
-        for line in plane.lines:
-            for ev in line.events:
-                name = plane.event_metadata[ev.metadata_id].name
-                totals[name] = totals.get(name, 0) + ev.duration_ps
-        if not totals:
-            continue
-        print(f"== plane: {plane.name} ==")
-        top = sorted(totals.items(), key=lambda kv: -kv[1])[:25]
-        whole = sum(totals.values())
-        for name, ps in top:
-            print(f"  {ps / 1e9:10.3f} ms  {100 * ps / whole:5.1f}%  {name[:110]}")
 
 
 def main():
@@ -66,9 +71,10 @@ def main():
     ap.add_argument("--mode", default="grad", choices=["grad", "fwd"])
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--dir", default="/tmp/rtt_prof")
+    ap.add_argument("--scene", default="/root/reference/scene_2.txt")
     args = ap.parse_args()
 
-    scene = parse_scene_file("/root/reference/scene_2.txt")
+    scene = parse_scene_file(args.scene)
     camera = Camera.default()
     config = RenderConfig()
     skybox = load_cubemap()
