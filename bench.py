@@ -223,11 +223,31 @@ def main():
             peak = pk["flops_per_s"]
             tf_fwd = fwd_flops * px / t_const / 1e12
             tf_bwd = fwdbwd_flops * px / t_bwd / 1e12
+            # second roofline line (VERDICT r04 #5): MXU utilization of the
+            # one-hot fetch dots (priced at 6 native bf16 passes for the
+            # precision=HIGHEST lowering) vs the measured bf16 matmul peak
+            try:
+                mxu6 = (
+                    F.fetch_mxu_flops_per_pixel(scene, config, passes=6)
+                    if bwd_mode == "fetch"
+                    else F.routing_mxu_flops_per_pixel(scene, config)
+                )
+                mpk = F.measured_mxu_peak()
+                if 1.6 <= mpk["ratio"] <= 2.5:
+                    mxu_seg = " / MXU %.1f TFLOP/s measured, fwd+bwd %.2f%%" % (
+                        mpk["flops_per_s"] / 1e12,
+                        100 * (mxu6 * px / t_bwd) / mpk["flops_per_s"],
+                    )
+                else:
+                    mxu_seg = (" / MXU n/a: peak self-check ratio %.2f"
+                               % mpk["ratio"])
+            except Exception as e2:  # pragma: no cover - diagnostics only
+                mxu_seg = (" / MXU n/a: %s" % e2)[:80]
             mfu = (
                 "; VPU peak %.1f TFLOP/s measured, const-sky fwd %.2f TFLOP/s"
-                " = %.0f%% MFU, fwd+bwd %.2f TFLOP/s = %.0f%% MFU"
+                " = %.0f%% MFU, fwd+bwd %.2f TFLOP/s = %.0f%% MFU%s"
                 % (peak / 1e12, tf_fwd, 100 * tf_fwd * 1e12 / peak,
-                   tf_bwd, 100 * tf_bwd * 1e12 / peak)
+                   tf_bwd, 100 * tf_bwd * 1e12 / peak, mxu_seg)
             )
         else:
             mfu = (

@@ -53,31 +53,53 @@ def main():
     bench("take (default fill)", lambda s: jnp.sum(jnp.take(tbl, mix(s))))
     bench("take mode=clip", lambda s: jnp.sum(jnp.take(tbl, mix(s), mode="clip")))
     bench(
-        "take mode=promise_in_bounds",
-        lambda s: jnp.sum(jnp.take(tbl, mix(s), mode="promise_in_bounds")),
+        "at.get promise_in_bounds",
+        lambda s: jnp.sum(tbl.at[mix(s)].get(mode="promise_in_bounds")),
     )
     bench(
-        "take promise + unique",
+        "at.get promise + unique",
         lambda s: jnp.sum(
-            jnp.take(tbl, mix(s), mode="promise_in_bounds", unique_indices=True)
+            tbl.at[mix(s)].get(mode="promise_in_bounds", unique_indices=True)
         ),
     )
     bench(
-        "take sorted idx (promise+sorted flags)",
+        "at.get sorted idx (promise+sorted flags)",
         lambda s: jnp.sum(
-            jnp.take(
-                tbl,
-                jnp.bitwise_or(idx_sorted, 0 * (s & 1)),
-                mode="promise_in_bounds",
-                indices_are_sorted=True,
+            tbl.at[jnp.bitwise_or(idx_sorted, 0 * (s & 1))].get(
+                mode="promise_in_bounds", indices_are_sorted=True
             )
         ),
     )
+    # ^ SUSPECT: 0*(s&1) folds to 0 => the gather is loop-invariant and XLA
+    # can hoist it out of the R-step scan (27/8 = 3.4 ms would masquerade
+    # as an 8x win). The next case stays sorted AND loop-variant:
+    bench(
+        "at.get sorted idx, loop-variant",
+        lambda s: jnp.sum(
+            tbl.at[jnp.minimum(idx_sorted + (s & 0xFF), TABLE - 1)].get(
+                mode="promise_in_bounds", indices_are_sorted=True
+            )
+        ),
+    )
+    bench("sort 2M int32", lambda s: jnp.sum(jnp.sort(mix(s)).astype(jnp.uint32)))
+    # end-to-end sorted-gather pipeline: sort (idx, position) pairs ->
+    # sorted gather -> scatter values back to original positions. If this
+    # beats the plain unsorted gather, the sky fetch has a faster form.
+    def pipeline(s):
+        i = mix(s)
+        pos = jnp.arange(N_IDX, dtype=jnp.int32)
+        i_s, pos_s = jax.lax.sort((i, pos), num_keys=1)
+        vals = tbl.at[i_s].get(mode="promise_in_bounds", indices_are_sorted=True)
+        out = jnp.zeros((N_IDX,), jnp.uint32).at[pos_s].set(
+            vals, mode="drop", unique_indices=True
+        )
+        return jnp.sum(out)
+
+    bench("sort+gather+unsort pipeline", pipeline)
     bench(
         "take width-2 rows (1M idx, 2 texels each)",
         lambda s: jnp.sum(
-            jnp.take(tbl2, mix(s)[: N_IDX // 2] >> 1, axis=0,
-                     mode="promise_in_bounds")
+            jnp.take(tbl2, mix(s)[: N_IDX // 2] >> 1, axis=0, mode="clip")
         ),
     )
     bench(

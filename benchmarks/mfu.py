@@ -84,6 +84,17 @@ def main():
     print(f"VPU peak (measured, f32 FMA): {peak/1e12:.2f} TFLOP/s "
           f"(iters-doubling ratio {ratio:.2f})")
 
+    print("measuring MXU peak (bf16 matmul chains)...", file=sys.stderr)
+    mxu_pk = F.measured_mxu_peak()
+    mxu_peak, mxu_ratio = mxu_pk["flops_per_s"], mxu_pk["ratio"]
+    if not 1.6 <= mxu_ratio <= 2.5:
+        raise SystemExit(
+            f"MXU peak self-check failed: second-difference ratio = "
+            f"{mxu_ratio:.2f} (want ~2); refusing a bogus MXU ceiling."
+        )
+    print(f"MXU peak (measured, bf16 matmul): {mxu_peak/1e12:.1f} TFLOP/s "
+          f"(iters-doubling ratio {mxu_ratio:.2f})")
+
     rows = []
     for name in args.scenes.split(","):
         scene = parse_scene_file(f"/root/reference/{name}.txt")
@@ -143,16 +154,25 @@ def main():
                 print(f"profiler capture failed (non-fatal): {e}",
                       file=sys.stderr)
 
-        def row(label, t, fl):
+        def row(label, t, fl, mxu_fl=0.0):
             tf = fl * px / t / 1e12
-            return {
+            r = {
                 "scene": name, "case": label, "ms_per_sample": t * 1e3,
                 "flops_per_px": fl, "tflops": tf, "mfu_pct": 100 * tf * 1e12 / peak,
             }
+            # second roofline line (VERDICT r04 #5): the one-hot fetch /
+            # routing dots priced in native bf16 MXU passes (x6 for the
+            # precision=HIGHEST lowering) against the MEASURED MXU peak —
+            # says whether the fetch matmuls are free or load-bearing
+            r["mxu_pct"] = 100 * (mxu_fl * px / t) / mxu_peak
+            return r
 
+        mxu6 = (F.fetch_mxu_flops_per_pixel(scene, config, passes=6)
+                if config.bwd_mode == "fetch"
+                else F.routing_mxu_flops_per_pixel(scene, config))
         rows.append(row("fwd const-sky", t_const, fwd_flops))
         rows.append(row("fwd skybox", t_sky, fwd_flops))
-        rows.append(row("fwd+bwd skybox", t_bwd, fwdbwd_flops))
+        rows.append(row("fwd+bwd skybox", t_bwd, fwdbwd_flops, mxu6))
         mxu = (F.fetch_mxu_flops_per_pixel(scene, config)
                if config.bwd_mode == "fetch"
                else F.routing_mxu_flops_per_pixel(scene, config))
@@ -162,12 +182,14 @@ def main():
               f"routing {mxu:.0f} MXU flops/px",
               file=sys.stderr)
 
-    print("\n| scene | case | ms/sample | flops/px | TFLOP/s | MFU% of VPU peak |")
-    print("|---|---|---|---|---|---|")
+    print("\n| scene | case | ms/sample | flops/px | TFLOP/s | VPU MFU% | MXU util% |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['scene']} | {r['case']} | {r['ms_per_sample']:.2f} | "
-              f"{r['flops_per_px']:.0f} | {r['tflops']:.2f} | {r['mfu_pct']:.1f} |")
-    print(json.dumps({"vpu_peak_tflops": round(peak / 1e12, 2), "rows": [
+              f"{r['flops_per_px']:.0f} | {r['tflops']:.2f} | {r['mfu_pct']:.1f} | "
+              f"{r['mxu_pct']:.2f} |")
+    print(json.dumps({"vpu_peak_tflops": round(peak / 1e12, 2),
+                      "mxu_peak_tflops": round(mxu_peak / 1e12, 1), "rows": [
         {k: (round(v, 3) if isinstance(v, float) else v) for k, v in r.items()}
         for r in rows]}))
 

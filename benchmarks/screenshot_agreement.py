@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Converged full-resolution agreement vs the reference's own screenshots
+(VERDICT r04 directive #2 — the BASELINE north-star "image agreement"
+line).
+
+The reference ships four golden images (assets/screenshot_{0..3}.png,
+1280x960, README.md:25-29: 0-1 are scene_0, 2 is scene_1, 3 is scene_2),
+each taken in-app at an UNKNOWN camera pose after free WASD/mouse
+movement (src/main.c:520-574). For each one this benchmark:
+
+  1. recovers the pose (coarse_pose_search thumbnail tournament + the
+     two-stage Adam refinement of apps/pose_recovery.py — the machinery
+     ground-truth-validated by tests/test_pose_search.py),
+  2. renders a CONVERGED 1280x960 frame at the recovered pose on
+     hardware (Pallas megakernel, full reference physics, 2048^2 skybox,
+     point-sampled pixel centers — the reference accumulates fixed pixel
+     centers, src/main.c:293-296, so its converged mean has no spatial
+     AA beyond the residual low-res warmup passes),
+  3. reports full-res MAE + pixel correlation vs the raw screenshot
+     (row-flipped: the reference PNG writer flips on save,
+     src/main.c:672).
+
+Writes renders/screenshot_<i>_recovered.png + a JSON line per row.
+
+Usage: python benchmarks/screenshot_agreement.py [--only 0,1,2,3]
+           [--spp 192] [--steps 150] [--refine-steps 40]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SHOTS = {  # screenshot index -> scene file (SURVEY.md §4)
+    0: "scene_0",
+    1: "scene_0",
+    2: "scene_1",
+    3: "scene_2",
+}
+W, H = 1280, 960
+
+
+def recover(scene, tgt_small, cubemap, args, mesh):
+    """pose_recovery.py's flow: coarse tournament -> Adam -> fine-tune."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_tracing_tpu import Camera, RenderConfig
+    from ray_tracing_tpu.diff.inverse import coarse_pose_search, fit
+
+    cfg = RenderConfig(env_filter="bilinear", bounces=3, shadow_samples=1)
+    base = Camera.default()
+    cands, scores = coarse_pose_search(
+        scene, tgt_small, base_camera=base, config=cfg, cubemap=cubemap,
+    )
+    print(f"  coarse top MSEs: {[round(s, 4) for s in scores]}",
+          file=sys.stderr, flush=True)
+    starts = [base] + [
+        dataclasses.replace(base, pos=jnp.asarray(p), front=jnp.asarray(f))
+        for p, f in cands
+    ]
+    refined = []
+    for k, st in enumerate(starts):
+        _, rc, ls = fit(
+            scene, st, jnp.asarray(tgt_small), mesh,
+            scene_fields=(), camera_fields=("pos", "front"),
+            steps=args.refine_steps, lr=args.lr, spp=args.fit_spp,
+            config=cfg, cubemap=cubemap,
+        )
+        refined.append((ls[-1], rc))
+    start = min(refined, key=lambda x: x[0])[1]
+    _, rec, losses = fit(
+        scene, start, jnp.asarray(tgt_small), mesh,
+        scene_fields=(), camera_fields=("pos", "front"),
+        steps=args.steps, lr=args.lr, spp=args.fit_spp,
+        config=cfg, cubemap=cubemap,
+    )
+    _, rec, losses2 = fit(
+        scene, rec, jnp.asarray(tgt_small), mesh,
+        scene_fields=(), camera_fields=("pos", "front"),
+        steps=max(args.steps // 2, 20), lr=args.lr / 5, spp=args.fit_spp * 4,
+        config=cfg, cubemap=cubemap,
+    )
+    print(f"  fit loss {losses[0]:.5f} -> {losses2[-1]:.5f}",
+          file=sys.stderr, flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="0,1,2,3")
+    ap.add_argument("--spp", type=int, default=192,
+                    help="converged full-res samples")
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--refine-steps", type=int, default=40)
+    ap.add_argument("--fit-spp", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=6e-3)
+    ap.add_argument("--fit-width", type=int, default=160)
+    ap.add_argument("--fit-height", type=int, default=120)
+    ap.add_argument("--assets", default="/root/reference/assets")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ray_tracing_tpu import RenderConfig
+    from ray_tracing_tpu.io.image import load_cubemap, save_png
+    from ray_tracing_tpu.kernels.megakernel import render_image_pallas
+    from ray_tracing_tpu.parallel.mesh import make_mesh
+    from ray_tracing_tpu.render.integrator import render_image
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    cubemap = load_cubemap(args.assets)
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    on_tpu = jax.default_backend() != "cpu"
+    rows = []
+
+    for idx in [int(x) for x in args.only.split(",")]:
+        scene_name = SHOTS[idx]
+        print(f"screenshot_{idx} ({scene_name}):", file=sys.stderr, flush=True)
+        scene = parse_scene_file(f"/root/reference/{scene_name}.txt")
+        raw = np.asarray(
+            Image.open(f"{args.assets}/screenshot_{idx}.png").convert("RGB"),
+            np.float32,
+        ) / 255.0
+        assert raw.shape == (H, W, 3), raw.shape
+        tgt = raw[::-1].copy()  # undo the writer's vertical flip
+        tgt_small = np.asarray(
+            Image.fromarray((raw * 255).astype(np.uint8))
+            .resize((args.fit_width, args.fit_height)),
+            np.float32,
+        )[::-1] / 255.0
+
+        rec = recover(scene, tgt_small, cubemap, args, mesh)
+        pos = np.asarray(rec.pos).round(4).tolist()
+        front = np.asarray(rec.front).round(4).tolist()
+        print(f"  pos {pos} front {front}", file=sys.stderr, flush=True)
+
+        # converged full-res render at the recovered pose, full reference
+        # physics (10 bounces, 3 shadow rays, nearest sky)
+        cfg = RenderConfig()
+        if on_tpu:
+            chunk = 32  # spp per jit call (keeps device time per dispatch sane)
+            acc = np.zeros((H, W, 3), np.float64)
+            done = 0
+            cache = None
+            while done < args.spp:
+                img, cache = render_image_pallas(
+                    scene, rec, W, H, 7000 + idx * 1000 + done, spp=chunk,
+                    config=cfg, cubemap=cubemap, sky_cache=cache,
+                    return_sky_cache=True,
+                )
+                acc += np.asarray(img, np.float64) * chunk
+                done += chunk
+            conv = (acc / done).astype(np.float32)
+        else:
+            conv = np.asarray(render_image(
+                scene, rec, 320, 240, jax.random.key(idx), spp=8,
+                config=cfg, cubemap=cubemap,
+            ))
+            tgt = np.asarray(
+                Image.fromarray((raw * 255).astype(np.uint8)).resize((320, 240)),
+                np.float32,
+            )[::-1] / 255.0
+
+        mae = float(np.abs(conv - tgt).mean())
+        corr = float(np.corrcoef(conv.ravel(), tgt.ravel())[0, 1])
+        print(f"  FULL-RES ({conv.shape[1]}x{conv.shape[0]}) MAE {mae:.4f} "
+              f"corr {corr:.3f}", flush=True)
+        save_png(conv, f"renders/screenshot_{idx}_recovered.png")
+        rows.append({"shot": idx, "scene": scene_name, "pos": pos,
+                     "front": front, "mae": round(mae, 4),
+                     "corr": round(corr, 4), "spp": args.spp})
+
+    print(json.dumps({"rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -356,6 +356,62 @@ def measured_vpu_peak(grid: int = 512, iters: int = 16384) -> dict:
     }
 
 
+def measured_mxu_peak(n: int = 1024, iters: int = 4096) -> dict:
+    """Achieved bf16 matmul FLOP/s of this chip's MXU (the ceiling the
+    fetch/routing one-hot dots are measured against; VERDICT r04 #5).
+
+    Same double-marginal + second-difference methodology as
+    `measured_vpu_peak` (see its docstring): per-call time is a window
+    difference with distinct inputs, per-ITERATION time is t(2N)-t(N),
+    and the returned `ratio` = (t(4N)-t(2N))/(t(2N)-t(N)) must be ~2.0
+    or the number is untrustworthy.
+
+    The chain is x <- bf16(x @ a) with a traced `a`, accumulated in f32
+    (preferred_element_type) — data-dependent, so XLA cannot fold the
+    loop into a matrix power. 2*n^3 MAC-flops per iteration; at n=1024,
+    iters=4096 the three kernels sit well above the ~25 ms tunnel
+    dispatch floor. This measures the NATIVE bf16 pass rate; f32
+    precision=HIGHEST dots consume 6 such passes
+    (fetch_mxu_flops_per_pixel's passes=6 convention)."""
+    from ray_tracing_tpu.utils.timing import timed_marginal
+
+    def build(n_iters):
+        @jax.jit
+        def run(x0, a):
+            def body(_, x):
+                y = jax.lax.dot(x, a, preferred_element_type=jnp.float32)
+                return y.astype(jnp.bfloat16)
+
+            x = jax.lax.fori_loop(0, n_iters, body, x0)
+            return jnp.sum(x.astype(jnp.float32))
+
+        return run
+
+    key = jax.random.key(7)
+    ka, kx = jax.random.split(key)
+    # spectral radius of N(0,1)/sqrt(n) is ~2; /2.2 keeps the chain from
+    # blowing up while staying in bf16 normal range for the whole loop
+    a = (jax.random.normal(ka, (n, n)) / (2.2 * n**0.5)).astype(jnp.bfloat16)
+    x_base = jax.random.normal(kx, (n, n)).astype(jnp.bfloat16)
+    a = jax.device_put(a)
+    x_base = jax.device_put(x_base)
+
+    def make_args(i):
+        x = x_base * jnp.bfloat16(1.0 + 1e-3 * (i % 7))
+        return (jax.block_until_ready(x), a)
+
+    runs = [build(m * iters) for m in (1, 2, 4)]
+    for q, r in enumerate(runs):
+        jax.block_until_ready(r(*make_args(-1 - q)))  # compile
+    t_1, t_2, t_4 = (timed_marginal(r, make_args, repeats=3) for r in runs)
+
+    marginal_flops = 2.0 * n**3 * iters  # (2N - N) iters
+    return {
+        "flops_per_s": marginal_flops / max(t_2 - t_1, 1e-12),
+        "ratio": (t_4 - t_2) / max(t_2 - t_1, 1e-12),
+    }
+
+
 def replay_vjp_cost_per_pixel(scene, config: RenderConfig, tile=(8, 128)):
     """Jaxpr-census cost of the path-replay backward's differentiable part:
     jax.vjp of tile_physics-with-ReplayTracer (forward replay + reverse
