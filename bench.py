@@ -259,14 +259,26 @@ def main():
         mfu = ("; MFU n/a: %s: %s" % (type(e).__name__, e))[:220]
         print(f"MFU accounting skipped: {e}", file=sys.stderr)
 
+    # session environment fingerprint (VERDICT r04 #6): the artifact must
+    # self-describe its tunnel session so a future reader can separate a
+    # code win from a tunnel mood (cross-session absolutes are ±~40%).
+    try:
+        from ray_tracing_tpu.utils.timing import environment_fingerprint
+
+        fp = environment_fingerprint()
+        env_seg = "; env: dispatch %.0f ms/call, device_get %.0f ms/fetch" % (
+            fp["dispatch_ms_per_call"], fp["device_get_ms"])
+    except Exception as e:  # pragma: no cover - diagnostics only
+        env_seg = ("; env n/a: %s" % e)[:80]
+
     print(
         json.dumps(
             {
                 "metric": (
                     "Mrays/s/chip fwd+bwd scene_2 1920x1080 + 2048^2 skybox "
                     "(bwd_mode=%s; steady-state training fwd+bwd %.0f; "
-                    "fwd-only %.0f; const-sky fwd %.0f%s)"
-                    % (bwd_mode, sky_bwd_ss, sky_fwd, const_fwd, mfu)
+                    "fwd-only %.0f; const-sky fwd %.0f%s%s)"
+                    % (bwd_mode, sky_bwd_ss, sky_fwd, const_fwd, mfu, env_seg)
                 ),
                 "value": round(sky_bwd, 1),
                 "unit": "Mrays/s",

@@ -95,6 +95,12 @@ class RenderService:
         self.frame = np.zeros((height, width, 3), np.float32)
         self.running = True
         self.passes_done = 0
+        # interactive latency: POST arrival -> first PUBLISHED frame that
+        # reflects the event (the reference's whole identity is this loop,
+        # src/main.c:520-574). Surfaces in /healthz -> the page HUD.
+        self._event_arrival = None
+        self._lat_start = None
+        self.event_to_frame_ms = None
         self.started = time.time()
         self.film_checkpoint = film_checkpoint
         self.film_checkpoint_every = film_checkpoint_every
@@ -132,6 +138,9 @@ class RenderService:
     def invalidate(self):
         from ray_tracing_tpu.render.film import Film
 
+        if self._event_arrival is not None:
+            self._lat_start = self._event_arrival
+            self._event_arrival = None
         self.film = Film.zero(self.width, self.height)
         self.pass_i = 0
         # the sky cache stays exact across camera moves but its hit rate
@@ -282,6 +291,10 @@ class RenderService:
             resolved = np.asarray(self.film.resolve())
             with self.frame_lock:
                 self.frame = resolved
+            if self._lat_start is not None:
+                self.event_to_frame_ms = round(
+                    (time.perf_counter() - self._lat_start) * 1e3, 1)
+                self._lat_start = None
             self.meter.add(self.rays_per_frame(
                 self.width // scale, self.height // scale, 1, self.config))
             self.pass_i += 1
@@ -312,6 +325,7 @@ class RenderService:
             "uptime_s": round(time.time() - self.started, 1),
             "backend": self.jax.default_backend(),
             "resolution": [self.width, self.height],
+            "event_to_frame_ms": self.event_to_frame_ms,
         }
 
 
@@ -367,6 +381,7 @@ def make_handler(svc: RenderService):
                 body = self.rfile.read(n).decode(errors="ignore").strip().lower()
                 ev = f"look {body}" if self.path == "/look" else body
                 try:
+                    svc._event_arrival = time.perf_counter()
                     svc.events.put_nowait(ev)
                     code = 200
                 except queue.Full:  # ref drops on a full ring too

@@ -114,3 +114,36 @@ def timed_per_sample(fn, scene, *, n, repeats: int = 2):
     make_args = lambda i: (scene, 1000 + i)
     jax.block_until_ready(fn(*make_args(-1)))  # compile + warm
     return timed_marginal(fn, make_args, repeats=repeats) / n
+
+
+def environment_fingerprint(n: int = 16) -> dict:
+    """Session environment fingerprint for bench artifacts (VERDICT r04
+    weak #1 / directive #6): cross-session absolutes over the tunnel vary
+    by up to ~±40%, so every artifact must carry the knobs that explain
+    its own session — the per-call DISPATCH floor (the tunnel rate-limits
+    dispatches at ~25 ms/call, round 4) and the device->host FETCH
+    latency (~29 ms/fetch, round 4 — the artifact behind the round-3
+    "regression"). The VPU peak is measured separately (utils/flops.py).
+
+    Returns {"dispatch_ms_per_call", "device_get_ms"} — medians over `n`
+    trials of a trivial jitted scalar add (distinct inputs so client-side
+    request caching cannot short-circuit)."""
+    f = jax.jit(lambda s: s + 1)
+    jax.block_until_ready(f(jnp.int32(0)))  # compile
+    # dispatch floor: n back-to-back enqueues, block once at the end
+    t0 = time.perf_counter()
+    outs = [f(jnp.int32(100 + i)) for i in range(n)]
+    jax.block_until_ready(outs[-1])
+    dispatch = (time.perf_counter() - t0) / n
+
+    fetches = []
+    for i in range(5):
+        o = jax.block_until_ready(f(jnp.int32(200 + i)))
+        t0 = time.perf_counter()
+        jax.device_get(o)
+        fetches.append(time.perf_counter() - t0)
+    fetches.sort()
+    return {
+        "dispatch_ms_per_call": round(dispatch * 1e3, 1),
+        "device_get_ms": round(fetches[len(fetches) // 2] * 1e3, 1),
+    }

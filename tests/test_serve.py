@@ -88,6 +88,15 @@ def test_key_event_invalidates(server):
     while time.time() < deadline and np.allclose(np.asarray(svc.camera.pos), pos_before):
         time.sleep(0.2)
     assert not np.allclose(np.asarray(svc.camera.pos), pos_before)
+    # interactive latency stat (VERDICT r04 #7): the first published frame
+    # after the event stamps event->frame latency into /healthz (the HUD)
+    deadline = time.time() + 60
+    lat = None
+    while time.time() < deadline and lat is None:
+        _, _, body = get(base + "/healthz")
+        lat = json.loads(body).get("event_to_frame_ms")
+        time.sleep(0.2)
+    assert lat is not None and 0.0 < lat < 120_000.0, lat
 
 
 def test_404(server):
