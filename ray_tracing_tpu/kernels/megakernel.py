@@ -83,16 +83,20 @@ def default_tiles(scene: Scene, config: RenderConfig):
     16x128 vs 16x256: fwd 7.14 vs 7.41, fwd+bwd 17.16 vs 17.77 ms/sample;
     scene_0 8x128 vs 8x256: fwd 30.7 vs 35.2, fwd+bwd 45.0 vs 52.5
     (8x512 / 16x256 OOM scene_0's backward). Narrower tiles also lower
-    the backward's VMEM peak. The >UNROLL_LIMIT fori-trace tier keeps its
-    round-2-measured shapes (not re-swept; no reference scene hits it)."""
+    the backward's VMEM peak. The >UNROLL_LIMIT fori-trace tier was
+    re-swept round 5 on hardware (benchmarks/large_scene.py, 201/1024
+    objects, 1080p full physics + skybox): 8x128 wins the forward at both
+    sizes (N=201: 597 vs 663 ms/sample at 8x256; N=1024: 2893 vs 3234)
+    AND is the only shape whose replay backward fits scoped VMEM at
+    N=201 (8x256/16x128/16x256 all overflow the 16MB stack)."""
     if scene.num_objects > UNROLL_LIMIT:
         # fori trace; the path-replay backward stores per-bounce winner
         # records (~bounces x (17 + 5*shadow_samples) planes) in VMEM, so
-        # heavy physics gets a smaller tile
+        # the scan tier takes the narrowest tile (see sweep above)
         eff = config.bounces * (
             1 + (config.shadow_samples if scene.has_light else 0)
         )
-        return (DEFAULT_TILE_H, DEFAULT_TILE_W) if eff <= 12 else (8, 256)
+        return (16, 128) if eff <= 12 else (8, 128)
     eff = scene.num_objects * (
         1 + (config.shadow_samples if scene.has_light else 0)
     )
@@ -680,6 +684,15 @@ def _bwd_kernel(
 _SHADOW_FUSE_BYTES = 2 * 1024 * 1024
 
 
+# One-hot rows per routing dot for large N: a (n, tile_px) one-hot is
+# n*tile_px*4 bytes on the Mosaic stack PER RECORD, and the unrolled
+# record list peaked at 46MB scoped VMEM at N=1024 (16MB physical) —
+# hardware compile error, benchmarks/large_scene.py round 5. 256 rows
+# cap each one-hot at 1MB (P=1024) while N<=256 scenes keep the exact
+# round-4-measured single-dot path.
+_ROUTE_CHUNK = 256
+
+
 def _route_record_grads(n: int, records, g_records):
     """Path-replay gradient routing: per-object (N, 16) row gradients from
     per-pixel winner-plane cotangents.
@@ -692,7 +705,13 @@ def _route_record_grads(n: int, records, g_records):
     TPU-idiomatic segment-sum). precision=HIGHEST — the default bf16
     passes round gradient sums at ~1e-3 relative. obj == -1 (miss) matches
     no one-hot row and so contributes nothing, exactly like the
-    where-select trace whose non-winners get zero gradient."""
+    where-select trace whose non-winners get zero gradient.
+
+    N > _ROUTE_CHUNK scenes route in object chunks (one dot per chunk per
+    record, same total MACs, bounded live one-hot VMEM) — see
+    _route_record_grads_chunked."""
+    if n > _ROUTE_CHUNK:
+        return _route_record_grads_chunked(n, records, g_records)
     G = jnp.zeros((n, SCENE_COLS), jnp.float32)
 
     def add(G, obj2d, cols):
@@ -746,6 +765,54 @@ def _route_record_grads(n: int, records, g_records):
                     ]
                     G = add(G, rec.obj[k], cols)
     return G
+
+
+def _route_record_grads_chunked(n: int, records, g_records):
+    """Large-N routing: same segment-sum as _route_record_grads, but each
+    record's one-hot covers only _ROUTE_CHUNK object rows per dot, so the
+    live one-hot is (<=256, P) f32 (~1MB at P=1024) instead of (N, P)
+    (4MB at N=1024 — 10 trace + 30 shadow records of those overflowed the
+    16MB scoped-VMEM stack on hardware). Total MACs are unchanged; only
+    the fixed per-dot cost multiplies by ceil(N/256). Shadow records take
+    the per-sample (unfused) form — the lane-concat fusion's one-hot is
+    ns x wider and defeats the point here."""
+    pairs = []  # (obj plane, 16 cotangent planes or None)
+    for rec, g in zip(records, g_records):
+        if isinstance(rec, TraceRecord):
+            pairs.append((rec.obj, [
+                g.p0.x, g.p0.y, g.p0.z, g.p1.x, g.p1.y, g.p1.z,
+                g.albedo.x, g.albedo.y, g.albedo.z,
+                g.roughness, g.reflectance, g.metallic,
+                g.emission.x, g.emission.y, g.emission.z, None,
+            ]))
+        else:
+            for k in range(rec.obj.shape[0]):
+                pairs.append((rec.obj[k], [None] * 12 + [
+                    g.emission.x[k], g.emission.y[k], g.emission.z[k], None,
+                ]))
+
+    chunks = []
+    for base in range(0, n, _ROUTE_CHUNK):
+        m = min(_ROUTE_CHUNK, n - base)
+        Gc = jnp.zeros((m, SCENE_COLS), jnp.float32)
+        for obj2d, cols in pairs:
+            p = obj2d.size
+            o = obj2d.reshape(1, p)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (m, p), 0) + base == o
+            ).astype(jnp.float32)
+            zeros = jnp.zeros(obj2d.shape, jnp.float32)
+            gmat = jnp.concatenate(
+                [(c if c is not None else zeros).reshape(1, p) for c in cols],
+                axis=0,
+            )  # (16, P)
+            Gc = Gc + jax.lax.dot_general(
+                onehot, gmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        chunks.append(Gc)
+    return jnp.concatenate(chunks, axis=0)
 
 
 def _bwd_kernel_replay(
@@ -929,6 +996,12 @@ def _plane_shape(width, height, tile_h, tile_w):
 # (module-level so tests can shrink it to pin the fallback boundary).
 FETCH_RECORD_BUDGET_BYTES = 4e9
 
+# Largest scene the fetch backward compiles for: its vjp's per-record
+# (N, tile_px) one-hot stack fits Mosaic's 16MB scoped VMEM at N=201/
+# 8x128 tiles (measured working, round 5) but hit 46MB at N=1024; 256
+# aligns with _ROUTE_CHUNK and is hardware-verified (see effective_bwd_mode).
+_FETCH_MAX_OBJECTS = 256
+
 
 def effective_bwd_mode(
     scene: Scene,
@@ -949,6 +1022,17 @@ def effective_bwd_mode(
     being reported) and tests can pin the boundary."""
     if config.bwd_mode != "fetch":
         return config.bwd_mode
+    if scene.num_objects > _FETCH_MAX_OBJECTS:
+        # Very large scenes: the fetch vjp materializes (N, tile_px)
+        # one-hots whose unrolled stack hit 46MB scoped VMEM (16MB
+        # physical) at N=1024 on hardware (benchmarks/large_scene.py,
+        # round 5). The recording replay stores winner PLANES instead:
+        # its backward VMEM is topology-free and its routing is chunked
+        # (_route_record_grads_chunked). Below the boundary fetch stays
+        # the default — at N=201 it is 2.0x FASTER than replay (665 vs
+        # 1322 ms/sample fwd+bwd, 1080p full physics, 8x128 tiles,
+        # measured round 5).
+        return "replay"
     if tile_h is None or tile_w is None:
         dth, dtw = default_tiles(scene, config)
         tile_h = tile_h or dth

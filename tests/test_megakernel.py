@@ -918,3 +918,71 @@ def test_fetch_budget_flip_grads_match_on_tpu(monkeypatch):
         x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
         scale = max(np.abs(y).max(), 1e-6)
         assert np.abs(x - y).max() / scale < 5e-3, f
+
+
+def test_route_record_grads_chunked_matches_oracle():
+    """N > _ROUTE_CHUNK routing goes through the object-chunked segment-sum
+    (round-5: the single (N, P) one-hot per record overflowed Mosaic's
+    16MB scoped-VMEM stack at N=1024 on hardware). The chunked result must
+    equal a scalar numpy segment-sum oracle exactly (the one-hot operands
+    are exactly representable; HIGHEST-precision dots reconstruct f32
+    products bit-exactly, summed here in f64 with a loose tolerance)."""
+    from ray_tracing_tpu.kernels import megakernel as mk
+    from ray_tracing_tpu.ops.intersect import ShadowRecord, TraceRecord
+
+    rng = np.random.default_rng(3)
+    n, th, tw, ns = 300, 8, 128, 2  # n > _ROUTE_CHUNK=256 and not a multiple
+    assert n > mk._ROUTE_CHUNK
+
+    def plane():
+        return jnp.asarray(rng.standard_normal((th, tw)), jnp.float32)
+
+    def vol():
+        return jnp.asarray(rng.standard_normal((ns, th, tw)), jnp.float32)
+
+    def v3(f=plane):
+        return Vec3(f(), f(), f())
+
+    def trace_pair():
+        obj = jnp.asarray(rng.integers(-1, n, (th, tw)), jnp.int32)
+        mk_rec = lambda: TraceRecord(
+            obj=obj, hit=plane(), is_sph=plane(), p0=v3(), p1=v3(),
+            albedo=v3(), roughness=plane(), reflectance=plane(),
+            metallic=plane(), emission=v3())
+        return mk_rec(), mk_rec()
+
+    def shadow_pair():
+        obj = jnp.asarray(rng.integers(-1, n, (ns, th, tw)), jnp.int32)
+        mk_rec = lambda: ShadowRecord(obj=obj, hit=vol(), emission=v3(vol))
+        return mk_rec(), mk_rec()
+
+    pairs = [trace_pair(), shadow_pair(), trace_pair()]
+    records = [r for r, _ in pairs]
+    gs = [g for _, g in pairs]
+
+    got = np.asarray(mk._route_record_grads(n, records, gs))
+    assert got.shape == (n, mk.SCENE_COLS)
+
+    expected = np.zeros((n, mk.SCENE_COLS), np.float64)
+    for rec, g in pairs:
+        if isinstance(rec, TraceRecord):
+            cols = [g.p0.x, g.p0.y, g.p0.z, g.p1.x, g.p1.y, g.p1.z,
+                    g.albedo.x, g.albedo.y, g.albedo.z,
+                    g.roughness, g.reflectance, g.metallic,
+                    g.emission.x, g.emission.y, g.emission.z, None]
+            obj = np.asarray(rec.obj).ravel()
+            for c, col in enumerate(cols):
+                if col is None:
+                    continue
+                vals = np.asarray(col, np.float64).ravel()
+                np.add.at(expected[:, c], obj[obj >= 0], vals[obj >= 0])
+        else:
+            for k in range(ns):
+                obj = np.asarray(rec.obj[k]).ravel()
+                for c, col in zip(
+                    (12, 13, 14),
+                    (g.emission.x[k], g.emission.y[k], g.emission.z[k]),
+                ):
+                    vals = np.asarray(col, np.float64).ravel()
+                    np.add.at(expected[:, c], obj[obj >= 0], vals[obj >= 0])
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=2e-5)
