@@ -90,9 +90,84 @@ def recover(scene, tgt_small, cubemap, args, mesh):
     return rec
 
 
+def local_polish(scene, raw, rec, cubemap, args, mesh, rounds=2):
+    """Stage-2 polish: POSITION gradients are parallax-weak at thumbnail
+    resolution (measured, tests/test_pose_search.py docstring), so the
+    Adam stage converges look direction but can stall on distance/height.
+    Each round brute-forces a local position grid around the fitted pose
+    at fixed front (one vmapped jit), then refits pos+front at the fit
+    resolution and again at 320x240 where parallax signal is strong."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ray_tracing_tpu import RenderConfig
+    from ray_tracing_tpu.diff.inverse import fit
+    from ray_tracing_tpu.render.integrator import render_image
+
+    cfg = RenderConfig(env_filter="bilinear", bounces=3, shadow_samples=1)
+
+    def tgt_at(w, h):
+        return np.asarray(
+            Image.fromarray((raw * 255).astype(np.uint8)).resize((w, h)),
+            np.float32,
+        )[::-1] / 255.0
+
+    t96 = jnp.asarray(tgt_at(96, 72))
+
+    @jax.jit
+    def score(poss, fronts):
+        def one(p, f):
+            cam = dc.replace(rec, pos=p, front=f)
+            img = render_image(scene, cam, 96, 72, jax.random.key(5), spp=2,
+                               config=cfg, cubemap=cubemap)
+            return jnp.mean((img - t96) ** 2)
+
+        return jax.vmap(one)(poss, fronts)
+
+    for rnd in range(rounds):
+        base_pos = np.asarray(rec.pos, np.float32)
+        front = np.asarray(rec.front, np.float32)
+        f = front / (np.linalg.norm(front) + 1e-9)
+        deltas = [np.zeros(3, np.float32)]
+        for ax in range(3):
+            for s in (1.0, -1.0):
+                for m in (0.5, 1.2, 2.4):
+                    d = np.zeros(3, np.float32)
+                    d[ax] = s * m
+                    deltas.append(d)
+        for k in (0.6, 1.4, 2.8, -0.6, -1.4, -2.8):
+            deltas.append((f * k).astype(np.float32))
+        cand = np.stack([base_pos + d for d in deltas])
+        sc = np.asarray(score(
+            jnp.asarray(cand), jnp.broadcast_to(front, cand.shape)))
+        best = int(np.argmin(sc))
+        print(f"  polish round {rnd}: grid best mse {sc[best]:.5f} "
+              f"(center {sc[0]:.5f}) at delta {np.round(cand[best]-base_pos,2)}",
+              file=sys.stderr, flush=True)
+        rec = dc.replace(rec, pos=jnp.asarray(cand[best]))
+        _, rec, _ = fit(
+            scene, rec, jnp.asarray(tgt_at(args.fit_width, args.fit_height)),
+            mesh, scene_fields=(), camera_fields=("pos", "front"),
+            steps=60, lr=args.lr / 2, spp=4, config=cfg, cubemap=cubemap,
+        )
+        _, rec, ls = fit(
+            scene, rec, jnp.asarray(tgt_at(320, 240)), mesh,
+            scene_fields=(), camera_fields=("pos", "front"),
+            steps=50, lr=args.lr / 4, spp=2, config=cfg, cubemap=cubemap,
+        )
+        print(f"  polish round {rnd}: 320x240 loss -> {ls[-1]:.5f}",
+              file=sys.stderr, flush=True)
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="0,1,2,3")
+    ap.add_argument("--polish", action="store_true",
+                    help="stage-2 local position-grid polish + 320x240 refit")
     ap.add_argument("--spp", type=int, default=192,
                     help="converged full-res samples")
     ap.add_argument("--steps", type=int, default=150)
@@ -137,6 +212,8 @@ def main():
         )[::-1] / 255.0
 
         rec = recover(scene, tgt_small, cubemap, args, mesh)
+        if args.polish:
+            rec = local_polish(scene, raw, rec, cubemap, args, mesh)
         pos = np.asarray(rec.pos).round(4).tolist()
         front = np.asarray(rec.front).round(4).tolist()
         print(f"  pos {pos} front {front}", file=sys.stderr, flush=True)

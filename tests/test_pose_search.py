@@ -8,6 +8,7 @@ mirror-symmetric scenes (e.g. scene_2's sphere row) give near-flat MSE
 landscapes at thumbnail resolution and cannot validate the ranking."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -260,3 +261,57 @@ def test_pose_recovery_ground_truth_vs_c_oracle(tmp_path):
     # gradients are weak — this pins that they are REAL and point the
     # right way, the honest quantitative statement for this estimator.
     assert perr1 < 0.80 and perr1 < 0.88 * perr0, (perr0, perr1)
+
+
+@pytest.mark.skipif(os.environ.get("RTT_SLOW") != "1",
+                    reason="four CPU renders; RTT_SLOW=1")
+def test_screenshot_agreement_bounds():
+    """Pins the round-5 screenshot-agreement result (VERDICT r04 #2, the
+    BASELINE north-star image-agreement line): at the poses recovered on
+    hardware by benchmarks/screenshot_agreement.py (+ --polish and the
+    640x480 refinement stage), a render must stay correlated with the
+    reference's own screenshots (assets/screenshot_0..3.png,
+    README.md:25-29) above measured floors.
+
+    Protocol: 160x120, spp=4, bounces=3, bilinear sky (the fit protocol —
+    CPU-tractable); measured correlations at the pinned poses were
+    0.677 / 0.653 / 0.649 / 0.875, floors leave ~0.03-0.05 MC margin.
+    Full-res converged numbers (1280x960, 192 spp, full physics, TPU):
+    corr 0.667 / 0.664 / 0.653 / 0.874 — BENCH_NOTES round 5 records the
+    protocol and why the scene_0/1 shots cap near 0.66 (pose-estimation
+    residual under a sky-dominated MSE; position gradients are
+    parallax-weak — see test_pose_recovery_ground_truth_vs_c_oracle)."""
+    import dataclasses
+
+    from PIL import Image
+
+    from ray_tracing_tpu.io.image import load_cubemap
+    from ray_tracing_tpu.render.integrator import render_image
+    from ray_tracing_tpu.scene.parser import parse_scene_file
+
+    POSES = {
+        0: ("scene_0", (10.7098, 3.2538, 1.7328),
+            (-0.9682, -0.3452, 0.0543), 0.62),
+        1: ("scene_0", (0.4182, 1.5641, 4.1084),
+            (0.6310, -0.2203, -0.5482), 0.60),
+        2: ("scene_1", (-1.6524, 0.1409, -6.1599),
+            (0.4613, 0.0939, 0.8213), 0.60),
+        3: ("scene_2", (-2.2534, 1.0455, 4.7588),
+            (0.4890, -0.2214, -0.8405), 0.83),
+    }
+    cfg = RenderConfig(env_filter="bilinear", bounces=3, shadow_samples=1)
+    sky = load_cubemap()
+    for i, (sc, pos, front, floor) in POSES.items():
+        scene = parse_scene_file(f"/root/reference/{sc}.txt")
+        cam = dataclasses.replace(
+            Camera.default(),
+            pos=jnp.asarray(pos, jnp.float32),
+            front=jnp.asarray(front, jnp.float32))
+        img = np.asarray(render_image(
+            scene, cam, 160, 120, jax.random.key(i), spp=4,
+            config=cfg, cubemap=sky))
+        tgt = np.asarray(
+            Image.open(f"/root/reference/assets/screenshot_{i}.png")
+            .convert("RGB").resize((160, 120)), np.float32)[::-1] / 255.0
+        corr = float(np.corrcoef(img.ravel(), tgt.ravel())[0, 1])
+        assert corr > floor, (i, corr, floor)
