@@ -92,7 +92,16 @@ class RenderService:
         self.rays_per_frame = rays_per_frame
         self.events: queue.Queue[str] = queue.Queue(maxsize=512)  # ref ring size
         self.frame_lock = threading.Lock()
-        self.frame = np.zeros((height, width, 3), np.float32)
+        # display frame is uint8: the resolve+quantize runs ON DEVICE so
+        # the per-pass device->host pull is 3 bytes/px, not 12 — at the
+        # reference's 1280x960 over the tunnel that transfer dominated
+        # the measured event->frame latency (BENCH_NOTES round 5)
+        self.frame = np.zeros((height, width, 3), np.uint8)
+        import jax.numpy as jnp
+
+        self._resolve_u8 = jax.jit(
+            lambda film: (jnp.clip(film.resolve(), 0.0, 1.0) * 255.0 + 0.5)
+            .astype(jnp.uint8))
         self.running = True
         self.passes_done = 0
         # interactive latency: POST arrival -> first PUBLISHED frame that
@@ -288,7 +297,7 @@ class RenderService:
             scale = self.scales[min(self.pass_i, len(self.scales) - 1)]
             self.film = self._pass(
                 self.jax.random.fold_in(key, self.passes_done), scale)
-            resolved = np.asarray(self.film.resolve())
+            resolved = np.asarray(self._resolve_u8(self.film))
             with self.frame_lock:
                 self.frame = resolved
             if self._lat_start is not None:
@@ -310,8 +319,8 @@ class RenderService:
 
         with self.frame_lock:
             # flip to display convention (matches the reference GL quad and
-            # io.save_png's vertical flip on write)
-            arr = (np.clip(self.frame[::-1], 0, 1) * 255).astype(np.uint8)
+            # io.save_png's vertical flip on write); frame is already u8
+            arr = self.frame[::-1].copy()
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, "PNG")
         return buf.getvalue()
